@@ -1,0 +1,304 @@
+"""Key-partitioned MERGE/upsert — the engine's flagship operator.
+
+Implements BASELINE.json:6's "key-partitioned MERGE/upsert (keyed on
+repo+path, ordered by commit LSN with last-writer-wins dedup in a per-key
+sorted-merge apply)" as a copy-on-write merge into the bucketed
+``SnapshotTable``:
+
+1.  validate/parse the CDC batch (quarantine malformed rows);
+2.  detect additive schema evolution vs the table's schema registry
+    (micro-batch-boundary resolution, BJ:6);
+3.  one bucket-granular pass over the batch collects affected buckets +
+    per-bucket source offset ranges (drives manifest-level pruning);
+4.  union the batch with ONLY the affected buckets' stored rows and take
+    the last writer per key — two interchangeable, test-proven-equal
+    resolution strategies:
+
+    * ``maxby`` (scale default): ``groupBy(key).agg(max_by(row,
+      (lsn, commit)))``. Catalyst plans partial_max_by before the shuffle,
+      so a hot key is pre-reduced map-side on every input partition —
+      skew defuses for free and everything stays in whole-stage codegen.
+    * ``sorted_merge``: the north-rule's literal per-key sorted-merge
+      apply — a salted ``max_by`` pre-reduce (explicit skew salt,
+      BJ:6 "salted repartitioning on hot repos") caps group sizes, then
+      ``applyInPandas`` folds each key's events in (lsn, commit) order.
+      Vectorized Arrow transfer; no per-row Python outside the fold.
+
+    LWW is associative/commutative over the total order (lsn, commit) —
+    commit ids are unique per event — so both strategies and any salting
+    produce the identical final row; ties (event re-delivery) are exact
+    duplicates and collapse. A late LOWER-lsn event never clobbers: the
+    stored row participates in the same max with its stored lsn.
+5.  winners that are deletes drop the row; survivors are rewritten into
+    the affected buckets (zstd parquet, ``_bucket=K`` layout); unaffected
+    buckets carry forward by reference;
+6.  atomic, epoch-fenced manifest commit (idempotent under re-delivery);
+7.  per-bucket/file lineage + per-epoch throughput metrics from parquet
+    footers (no extra Spark job).
+
+Scale notes (100 TB posture): the only full scans are (a) one
+bucket-stat pass over the batch and (b) the resolve itself; the target
+table is never scanned beyond affected buckets; all logic is JVM-side
+except the optional sorted-merge fold; writes preserve the resolve's
+shuffle partitioning (no extra repartition) with ``partitionBy`` routing
+rows to bucket directories.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from .lineage import MetricsTable
+from .table import BUCKET_COL, SnapshotTable, bucket_expr
+
+VALID_OPS = ("insert", "update", "delete")
+_STORED = "__stored__"
+SHA_COL = "content_sha256"
+
+
+def _list_written_files(data_dir: str) -> dict[int, list[str]]:
+    """Enumerate ``data_dir/_bucket=K/*.parquet`` after a partitioned write."""
+    out: dict[int, list[str]] = {}
+    if not os.path.isdir(data_dir):
+        return out
+    for entry in os.listdir(data_dir):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        bdir = os.path.join(data_dir, entry)
+        files = [
+            os.path.join(bdir, f)
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet") or f.endswith(".zstd.parquet")
+        ]
+        if files:
+            out[b] = sorted(files)
+    return out
+
+
+def _evolved_schema(table: SnapshotTable, batch: DataFrame) -> tuple[StructType, list[str]]:
+    """Additive evolution vs the registry: batch data columns not in the
+    table schema are appended as nullable fields (BJ:6)."""
+    cur = table.schema()
+    known = set(cur.fieldNames())
+    new_fields = [
+        StructField(f.name, f.dataType, True)
+        for f in batch.schema.fields
+        if f.name not in known and f.name != "op"
+    ]
+    if not new_fields:
+        return cur, []
+    return StructType(cur.fields + new_fields), [f.name for f in new_fields]
+
+
+def _align(df: DataFrame, schema: StructType, extra: list[str]) -> DataFrame:
+    """Project ``df`` onto ``schema``'s columns (missing -> typed nulls),
+    keeping ``extra`` columns (e.g. ``op``) as-is."""
+    have = set(df.columns)
+    cols = [
+        (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols, *[F.col(c) for c in extra])
+
+
+def _resolve_maxby(unioned: DataFrame, key_cols: list[str], all_cols: list[str]) -> DataFrame:
+    """LWW via max_by — partial aggregation map-side (skew-proof, codegen)."""
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in all_cols]),
+        F.struct(F.col("lsn"), F.col("commit")),
+    ).alias("_w")
+    return unioned.groupBy(*key_cols).agg(winner).select("_w.*")
+
+
+def _resolve_sorted_merge(
+    unioned: DataFrame, key_cols: list[str], all_cols: list[str], num_salts: int
+) -> DataFrame:
+    """North-rule-literal per-key sorted-merge apply (applyInPandas).
+
+    Stage 1 — salted pre-reduce: ``groupBy(key, salt)`` with max_by caps
+    any hot key at ``num_salts`` surviving rows before the per-key stage
+    (explicit skew handling; LWW associativity makes this lossless).
+    Stage 2 — ``applyInPandas`` folds each key's rows in (lsn, commit)
+    order: the last op wins; a winning delete emits no row.
+    """
+    salt = F.pmod(F.xxhash64(F.col("commit")), F.lit(num_salts)).alias("_salt")
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in all_cols]),
+        F.struct(F.col("lsn"), F.col("commit")),
+    ).alias("_w")
+    pre = unioned.groupBy(*key_cols, salt).agg(winner).select("_w.*")
+
+    out_schema = StructType([pre.schema[c] for c in all_cols])
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["lsn", "commit"], kind="stable")
+        last = pdf.iloc[[-1]]
+        if last["op"].iloc[0] == "delete":
+            return last.iloc[0:0]
+        return last
+
+    return pre.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
+
+
+def merge_batch(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch: DataFrame,
+    *,
+    job_id: str = "job",
+    epoch_id: int = 0,
+    metrics: MetricsTable | None = None,
+    resolve: str = "maxby",
+    num_salts: int = 16,
+    quarantine_dir: str | None = None,
+    fault_injector: Callable[[str], None] | None = None,
+) -> dict[str, Any]:
+    """Apply one micro-batch of CDC events to the table, exactly once.
+
+    Returns a summary dict; ``{"skipped": True}`` when the epoch fence was
+    already committed (idempotent re-delivery, BJ:6).
+    """
+    t0 = time.monotonic()
+    fence = f"{job_id}:{epoch_id}"
+    hook = fault_injector or (lambda stage: None)
+    table.refresh()
+    if table.is_fence_committed(fence):
+        return {"skipped": True, "fence": fence}
+
+    key_cols = table.key_cols
+
+    # -- 1. parse/validate (S3): op whitelist + non-null key/order cols -----
+    cond = F.col("op").isin(*VALID_OPS) & F.col("lsn").isNotNull()
+    for k in key_cols:
+        cond = cond & F.col(k).isNotNull()
+    ev = batch.filter(cond)
+    quarantined = 0
+    if quarantine_dir is not None:
+        bad = batch.filter(~F.coalesce(cond, F.lit(False)))
+        quarantined = bad.count()
+        if quarantined:
+            bad.write.mode("append").option("compression", "zstd").parquet(quarantine_dir)
+
+    # -- 2. schema-evolution gate (T7) --------------------------------------
+    schema, new_cols = _evolved_schema(table, batch)
+    all_cols = [f.name for f in schema.fields]
+    data_cols = [c for c in all_cols if c != SHA_COL]
+
+    # -- 3. bucket-stat pass: affected buckets + offset ranges (one job) ----
+    nb = table.num_buckets
+    bstats = (
+        ev.groupBy(bucket_expr(key_cols, nb).alias(BUCKET_COL))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("dels"),
+        )
+        .collect()
+    )
+    affected = sorted(r[BUCKET_COL] for r in bstats)
+    n_events = sum(r["n"] for r in bstats)
+    n_deletes = sum(r["dels"] for r in bstats)
+    src_lo = min((r["lo"] for r in bstats), default=None)
+    src_hi = max((r["hi"] for r in bstats), default=None)
+
+    summary: dict[str, Any] = {
+        "fence": fence,
+        "events": n_events,
+        "deletes": n_deletes,
+        "quarantined": quarantined,
+        "affected_buckets": len(affected),
+        "new_columns": new_cols,
+    }
+
+    if n_events == 0:
+        # still commit the fence so re-delivery of an empty epoch is a no-op
+        snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
+        summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
+        summary["skipped"] = snap is None
+        return summary
+
+    # -- 4. LWW resolve over (batch ∪ affected stored rows) ------------------
+    ev_aligned = _align(ev, StructType([f for f in schema.fields if f.name != SHA_COL]), ["op"])
+    ev_aligned = ev_aligned.withColumn(SHA_COL, F.lit(None).cast("string"))
+    ev_aligned = ev_aligned.select(*all_cols, "op")
+    stored = table.read(spark, buckets=affected, schema=schema)
+    stored_aligned = stored.select(*all_cols).withColumn("op", F.lit(_STORED))
+    unioned = ev_aligned.unionByName(stored_aligned)
+
+    if resolve == "maxby":
+        resolved = _resolve_maxby(unioned, key_cols, all_cols + ["op"])
+    elif resolve == "sorted_merge":
+        resolved = _resolve_sorted_merge(unioned, key_cols, all_cols + ["op"], num_salts)
+    else:
+        raise ValueError(f"unknown resolve strategy {resolve!r}")
+
+    final = (
+        resolved.filter(F.col("op") != "delete")
+        .withColumn(
+            SHA_COL,
+            F.when(F.col("op") == _STORED, F.col(SHA_COL)).otherwise(
+                F.when(F.col("content").isNotNull(), F.sha2(F.col("content"), 256))
+            ),
+        )
+        .drop("op")
+        .withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
+    )
+
+    # -- 5. copy-on-write: rewrite affected buckets ---------------------------
+    hook("pre_write")
+    data_dir = table.new_data_dir()
+    final.write.partitionBy(BUCKET_COL).option("compression", "zstd").parquet(data_dir)
+    files_by_bucket = _list_written_files(data_dir)
+
+    # -- 6. fenced atomic commit ---------------------------------------------
+    hook("pre_commit")
+    snap = table.commit(
+        files_by_bucket,
+        affected,
+        fence=fence,
+        new_schema=schema if new_cols else None,
+        summary={**summary, "operation": "merge"},
+    )
+    if snap is None:  # fence raced us — our files are orphans, vacuum later
+        summary["skipped"] = True
+        return summary
+    hook("post_commit")
+
+    # -- 7. lineage + throughput metrics --------------------------------------
+    secs = time.monotonic() - t0
+    summary.update(
+        snapshot_id=snap["snapshot_id"],
+        files_written=sum(len(v) for v in files_by_bucket.values()),
+        seconds=secs,
+        events_per_sec=(n_events / secs if secs > 0 else None),
+    )
+    if metrics is not None:
+        metrics.emit_lineage(
+            job_id, epoch_id, snap["snapshot_id"], files_by_bucket, src_lo, src_hi, table.root
+        )
+        metrics.emit_epoch(
+            {
+                "job_id": job_id,
+                "epoch_id": epoch_id,
+                "snapshot_id": snap["snapshot_id"],
+                "events": n_events,
+                "upserts": n_events - n_deletes,
+                "deletes": n_deletes,
+                "quarantined": quarantined,
+                "affected_buckets": len(affected),
+                "files_written": summary["files_written"],
+                "seconds": secs,
+                "events_per_sec": summary["events_per_sec"],
+            }
+        )
+    return summary

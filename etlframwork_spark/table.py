@@ -1,0 +1,337 @@
+"""Iceberg-semantics snapshot table, hand-rolled over parquet + JSON.
+
+Why hand-rolled: the sandbox has no iceberg-spark-runtime jar and no
+network (SURVEY.md §7.4.1), so this module reproduces the Iceberg
+*semantics* the north rule depends on (BASELINE.json:14):
+
+- **snapshot commits**: every commit writes a new immutable metadata file
+  ``metadata/v{N}.json`` whose rename is the single atomic commit point;
+  data files are immutable and referenced by snapshots (copy-on-write).
+- **batch-epoch fencing**: a commit may carry a fence key
+  ``"{job_id}:{epoch_id}"``; re-committing an already-committed fence is a
+  no-op, making ``foreachBatch`` exactly-once (at-least-once delivery x
+  idempotent commit).
+- **additive schema evolution**: each snapshot pins a ``schema_id``; new
+  nullable columns may be appended, old files are read back with nulls for
+  missing columns (explicit-schema parquet read).
+- **time travel**: any retained snapshot can be read by id.
+- **key-bucketed layout**: data files live under ``_bucket=K`` directories,
+  bucketed by ``xxhash64(*key_cols) % num_buckets``; MERGE rewrites only
+  affected buckets and carries the rest forward by reference
+  (manifest-level partition pruning, SURVEY.md §4.2).
+
+Crash safety: a kill between data-file write and metadata rename leaves
+orphan data files that no snapshot references — the manifest is the source
+of truth; ``vacuum()`` collects orphans. Loading scans for the highest
+``v{N}.json`` (version-hint is only a fast path), so a torn hint write
+cannot corrupt the table.
+
+Swapping this module for real ``iceberg-spark-runtime`` + ``MERGE INTO``
+is an isolated change if a future environment has the jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+_VERSION_RE = re.compile(r"^v(\d+)\.json$")
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int):
+    """Deterministic bucket id for a row: xxhash64(key) mod B (JVM-side)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class FenceAlreadyCommitted(Exception):
+    """Raised (optionally) when a fenced commit was already applied."""
+
+
+class SnapshotTable:
+    """A bucketed, snapshot-versioned parquet table with atomic commits."""
+
+    def __init__(self, root: str, meta: dict[str, Any], version: int):
+        self.root = root
+        self.meta = meta
+        self.version = version
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: StructType,
+        key_cols: list[str],
+        order_col: str,
+        num_buckets: int = 16,
+        name: str = "table",
+    ) -> "SnapshotTable":
+        """Create a new empty table (snapshot 0, schema_id 0)."""
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        for k in key_cols + [order_col]:
+            if k not in schema.fieldNames():
+                raise ValueError(f"key/order column {k!r} missing from schema")
+        meta = {
+            "format_version": 1,
+            "name": name,
+            "table_uuid": str(uuid.uuid4()),
+            "key_cols": list(key_cols),
+            "order_col": order_col,
+            "num_buckets": int(num_buckets),
+            "schemas": [{"schema_id": 0, "struct": schema.jsonValue()}],
+            "current_schema_id": 0,
+            "snapshots": [
+                {
+                    "snapshot_id": 0,
+                    "parent_id": None,
+                    "schema_id": 0,
+                    "files": {},
+                    "summary": {"operation": "create"},
+                    "fence": None,
+                }
+            ],
+            "current_snapshot_id": 0,
+            "committed_fences": {},
+        }
+        t = cls(root, meta, version=0)
+        t._write_version(1)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "SnapshotTable":
+        version = cls._latest_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no table metadata under {root}")
+        with open(os.path.join(root, "metadata", f"v{version}.json")) as f:
+            meta = json.load(f)
+        return cls(root, meta, version)
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return cls._latest_version(root) is not None
+
+    def refresh(self) -> "SnapshotTable":
+        t = SnapshotTable.load(self.root)
+        self.meta, self.version = t.meta, t.version
+        return self
+
+    @staticmethod
+    def _latest_version(root: str) -> int | None:
+        mdir = os.path.join(root, "metadata")
+        if not os.path.isdir(mdir):
+            return None
+        versions = [int(m.group(1)) for e in os.listdir(mdir) if (m := _VERSION_RE.match(e))]
+        return max(versions) if versions else None
+
+    def _write_version(self, new_version: int) -> None:
+        mdir = os.path.join(self.root, "metadata")
+        final = os.path.join(mdir, f"v{new_version}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # THE commit point
+        self.version = new_version
+        # best-effort fast-path hint (load() never trusts it blindly)
+        hint_tmp = os.path.join(mdir, f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_version))
+        os.rename(hint_tmp, os.path.join(mdir, "version-hint.text"))
+
+    # ---------------------------------------------------------------- schema
+    def schema(self, schema_id: int | None = None) -> StructType:
+        sid = self.meta["current_schema_id"] if schema_id is None else schema_id
+        for s in self.meta["schemas"]:
+            if s["schema_id"] == sid:
+                return StructType.fromJson(s["struct"])
+        raise KeyError(f"schema_id {sid} not found")
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.meta["key_cols"]
+
+    @property
+    def order_col(self) -> str:
+        return self.meta["order_col"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.meta["num_buckets"]
+
+    def check_additive(self, new_schema: StructType) -> list[StructField]:
+        """Validate additive evolution: every current field survives with an
+        identical type; returns the (possibly empty) list of appended fields.
+        """
+        cur = self.schema()
+        cur_by_name = {f.name: f for f in cur.fields}
+        new_by_name = {f.name: f for f in new_schema.fields}
+        for name, f in cur_by_name.items():
+            if name not in new_by_name:
+                raise ValueError(f"schema evolution dropped column {name!r} (additive only)")
+            if new_by_name[name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution changed type of {name!r}: "
+                    f"{f.dataType} -> {new_by_name[name].dataType} (additive only)"
+                )
+        return [f for f in new_schema.fields if f.name not in cur_by_name]
+
+    # ------------------------------------------------------------- snapshots
+    def snapshot(self, snapshot_id: int | None = None) -> dict[str, Any]:
+        sid = self.meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found")
+
+    def files_for(
+        self, buckets: Iterable[int] | None = None, snapshot_id: int | None = None
+    ) -> list[str]:
+        """Absolute data-file paths for a snapshot, optionally pruned to the
+        given buckets (manifest-level partition pruning)."""
+        snap = self.snapshot(snapshot_id)
+        wanted = None if buckets is None else {str(int(b)) for b in buckets}
+        out: list[str] = []
+        for b, files in snap["files"].items():
+            if wanted is None or b in wanted:
+                out.extend(os.path.join(self.root, f) for f in files)
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        buckets: Iterable[int] | None = None,
+        schema_id: int | None = None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (time travel when ``snapshot_id`` given).
+
+        Always reads with an explicit schema so files written before an
+        additive evolution come back with nulls in new columns. By default
+        that is the CURRENT registry schema (Iceberg read-with-current-
+        schema); ``schema`` overrides it (used mid-merge for an evolution
+        that is not yet committed).
+        """
+        if schema is None:
+            sid = self.meta["current_schema_id"] if schema_id is None else schema_id
+            schema = self.schema(sid)
+        files = self.files_for(buckets=buckets, snapshot_id=snapshot_id)
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    # ---------------------------------------------------------------- commit
+    def is_fence_committed(self, fence: str) -> bool:
+        return fence in self.meta["committed_fences"]
+
+    def new_data_dir(self) -> str:
+        """A unique directory for a prospective snapshot's data files.
+        Safe to abandon: unreferenced files are invisible to readers."""
+        d = os.path.join(self.root, "data", f"snap-{uuid.uuid4().hex[:12]}")
+        return d
+
+    def commit(
+        self,
+        changed_files_by_bucket: dict[int, list[str]],
+        changed_buckets: Iterable[int],
+        fence: str | None = None,
+        new_schema: StructType | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any] | None:
+        """Atomically commit a new snapshot.
+
+        ``changed_files_by_bucket``: bucket -> list of paths (absolute or
+        root-relative) that REPLACE that bucket's file set. Every bucket in
+        ``changed_buckets`` is replaced (possibly by an empty list — bucket
+        became empty); all other buckets carry forward by reference.
+
+        Returns the new snapshot dict, or ``None`` when ``fence`` was
+        already committed (idempotent re-delivery short-circuit).
+        """
+        self.refresh()
+        if fence is not None and self.is_fence_committed(fence):
+            return None
+
+        schema_id = self.meta["current_schema_id"]
+        if new_schema is not None:
+            added = self.check_additive(new_schema)
+            if added:
+                schema_id = max(s["schema_id"] for s in self.meta["schemas"]) + 1
+                self.meta["schemas"].append(
+                    {"schema_id": schema_id, "struct": new_schema.jsonValue()}
+                )
+                self.meta["current_schema_id"] = schema_id
+
+        parent = self.snapshot()
+        files = {b: list(fs) for b, fs in parent["files"].items()}
+        for b in changed_buckets:
+            bs = str(int(b))
+            rels = [
+                os.path.relpath(p, self.root) if os.path.isabs(p) else p
+                for p in changed_files_by_bucket.get(int(b), [])
+            ]
+            if rels:
+                files[bs] = rels
+            else:
+                files.pop(bs, None)
+
+        new_id = max(s["snapshot_id"] for s in self.meta["snapshots"]) + 1
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent["snapshot_id"],
+            "schema_id": schema_id,
+            "files": files,
+            "summary": summary or {},
+            "fence": fence,
+        }
+        self.meta["snapshots"].append(snap)
+        self.meta["current_snapshot_id"] = new_id
+        if fence is not None:
+            self.meta["committed_fences"][fence] = new_id
+        self._write_version(self.version + 1)
+        return snap
+
+    # --------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop old snapshots from metadata (keeps current + last K)."""
+        self.refresh()
+        snaps = sorted(self.meta["snapshots"], key=lambda s: s["snapshot_id"])
+        if len(snaps) <= keep_last:
+            return 0
+        keep = snaps[-keep_last:]
+        keep_ids = {s["snapshot_id"] for s in keep} | {self.meta["current_snapshot_id"]}
+        kept = [s for s in snaps if s["snapshot_id"] in keep_ids]
+        dropped = len(snaps) - len(kept)
+        self.meta["snapshots"] = kept
+        self._write_version(self.version + 1)
+        return dropped
+
+    def vacuum(self) -> int:
+        """Delete data files referenced by no retained snapshot. Returns the
+        number of files removed. Call only after expire_snapshots."""
+        self.refresh()
+        live: set[str] = set()
+        for s in self.meta["snapshots"]:
+            for fs in s["files"].values():
+                live.update(fs)
+        removed = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if os.path.relpath(p, self.root) not in live:
+                    os.remove(p)
+                    removed += 1
+            if not os.listdir(dirpath) and dirpath != data_root:
+                os.rmdir(dirpath)
+        return removed

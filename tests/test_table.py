@@ -1,0 +1,113 @@
+"""Unit tests for the Iceberg-semantics SnapshotTable (SURVEY.md §2.1 S4/S6)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etlframwork_spark.events import TARGET_BASE_SCHEMA
+from etlframwork_spark.table import SnapshotTable
+
+
+def _write_parquet(path, rows, cols):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(cols)), path)
+
+
+ARROW_BASE = [
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("content", pa.string()),
+    ("lsn", pa.int64()),
+    ("content_sha256", pa.string()),
+]
+
+
+def _mk(tmp_path):
+    return SnapshotTable.create(
+        str(tmp_path / "t"), TARGET_BASE_SCHEMA, key_cols=["repo", "path"], order_col="lsn", num_buckets=4
+    )
+
+
+def test_create_load_roundtrip(tmp_path, spark):
+    t = _mk(tmp_path)
+    t2 = SnapshotTable.load(t.root)
+    assert t2.schema() == TARGET_BASE_SCHEMA
+    assert t2.key_cols == ["repo", "path"]
+    assert t2.num_buckets == 4
+    assert t2.read(spark).count() == 0
+
+
+def test_commit_and_time_travel(tmp_path, spark):
+    t = _mk(tmp_path)
+    r1 = {"repo": "a/b", "path": "x.py", "commit": "c1", "content": "v1", "lsn": 1, "content_sha256": "s1"}
+    f1 = os.path.join(t.root, "data", "s1", "f1.parquet")
+    _write_parquet(f1, [r1], ARROW_BASE)
+    s1 = t.commit({0: [f1]}, [0], summary={"operation": "test"})
+    r2 = dict(r1, content="v2", lsn=2, commit="c2")
+    f2 = os.path.join(t.root, "data", "s2", "f2.parquet")
+    _write_parquet(f2, [r2], ARROW_BASE)
+    s2 = t.commit({0: [f2]}, [0])
+    assert s2["parent_id"] == s1["snapshot_id"]
+    # current reads v2, time travel reads v1
+    assert t.read(spark).select("content").first()[0] == "v2"
+    assert t.read(spark, snapshot_id=s1["snapshot_id"]).select("content").first()[0] == "v1"
+    # reload from disk sees the same state (atomic rename commit)
+    assert SnapshotTable.load(t.root).snapshot()["snapshot_id"] == s2["snapshot_id"]
+
+
+def test_fence_idempotence(tmp_path):
+    t = _mk(tmp_path)
+    f1 = os.path.join(t.root, "data", "s1", "f1.parquet")
+    _write_parquet(f1, [{"repo": "a", "path": "p", "commit": "c", "content": "x", "lsn": 1, "content_sha256": "h"}], ARROW_BASE)
+    s = t.commit({0: [f1]}, [0], fence="job:7")
+    assert s is not None
+    # re-delivered epoch commits exactly once
+    assert t.commit({0: [f1]}, [0], fence="job:7") is None
+    assert t.is_fence_committed("job:7")
+    assert SnapshotTable.load(t.root).is_fence_committed("job:7")
+
+
+def test_additive_schema_evolution(tmp_path, spark):
+    t = _mk(tmp_path)
+    evolved = StructType(TARGET_BASE_SCHEMA.fields + [StructField("lang", StringType(), True)])
+    f1 = os.path.join(t.root, "data", "s1", "f1.parquet")
+    # file written under the OLD schema (no lang)
+    _write_parquet(f1, [{"repo": "a", "path": "p", "commit": "c", "content": "x", "lsn": 1, "content_sha256": "h"}], ARROW_BASE)
+    t.commit({0: [f1]}, [0], new_schema=evolved)
+    assert t.meta["current_schema_id"] == 1
+    row = t.read(spark).first()
+    assert row["lang"] is None  # old file back-filled with null (BJ:6)
+    # non-additive changes are rejected
+    with pytest.raises(ValueError):
+        t.check_additive(StructType([StructField("repo", LongType(), False)]))
+    dropped = StructType([f for f in TARGET_BASE_SCHEMA.fields if f.name != "content"])
+    with pytest.raises(ValueError):
+        t.check_additive(dropped)
+
+
+def test_bucket_pruning_and_vacuum(tmp_path, spark):
+    t = _mk(tmp_path)
+    rows0 = [{"repo": "a", "path": "p", "commit": "c", "content": "x", "lsn": 1, "content_sha256": "h"}]
+    rows1 = [{"repo": "b", "path": "q", "commit": "d", "content": "y", "lsn": 2, "content_sha256": "i"}]
+    f0 = os.path.join(t.root, "data", "s1", "b0.parquet")
+    f1 = os.path.join(t.root, "data", "s1", "b1.parquet")
+    _write_parquet(f0, rows0, ARROW_BASE)
+    _write_parquet(f1, rows1, ARROW_BASE)
+    t.commit({0: [f0], 1: [f1]}, [0, 1])
+    assert len(t.files_for(buckets=[0])) == 1
+    assert len(t.files_for()) == 2
+    # orphan file (crashed epoch) is invisible and vacuumable
+    orphan = os.path.join(t.root, "data", "orphan", "o.parquet")
+    _write_parquet(orphan, rows0, ARROW_BASE)
+    assert t.read(spark).count() == 2
+    t.expire_snapshots(keep_last=1)
+    removed = t.vacuum()
+    assert removed >= 1
+    assert t.read(spark).count() == 2
