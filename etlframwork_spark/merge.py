@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from .lineage import MetricsTable
-from .table import BUCKET_COL, SnapshotTable, bucket_expr
+from .table import BUCKET_COL, TOMBSTONE_COL, SnapshotTable, bucket_expr
 
 VALID_OPS = ("insert", "update", "delete")
 _STORED = "__stored__"
@@ -110,41 +110,44 @@ def _align(df: DataFrame, schema: StructType, extra: list[str]) -> DataFrame:
     return df.select(*cols, *[F.col(c) for c in extra])
 
 
-def _resolve_maxby(unioned: DataFrame, key_cols: list[str], all_cols: list[str]) -> DataFrame:
+def _resolve_maxby(
+    unioned: DataFrame, key_cols: list[str], all_cols: list[str], order_cols: list[str]
+) -> DataFrame:
     """LWW via max_by — partial aggregation map-side (skew-proof, codegen)."""
     winner = F.max_by(
         F.struct(*[F.col(c) for c in all_cols]),
-        F.struct(F.col("lsn"), F.col("commit")),
+        F.struct(*[F.col(c) for c in order_cols]),
     ).alias("_w")
     return unioned.groupBy(*key_cols).agg(winner).select("_w.*")
 
 
 def _resolve_sorted_merge(
-    unioned: DataFrame, key_cols: list[str], all_cols: list[str], num_salts: int
+    unioned: DataFrame,
+    key_cols: list[str],
+    all_cols: list[str],
+    order_cols: list[str],
+    num_salts: int,
 ) -> DataFrame:
     """North-rule-literal per-key sorted-merge apply (applyInPandas).
 
     Stage 1 — salted pre-reduce: ``groupBy(key, salt)`` with max_by caps
     any hot key at ``num_salts`` surviving rows before the per-key stage
     (explicit skew handling; LWW associativity makes this lossless).
-    Stage 2 — ``applyInPandas`` folds each key's rows in (lsn, commit)
-    order: the last op wins; a winning delete emits no row.
+    Stage 2 — ``applyInPandas`` folds each key's rows in (lsn, tiebreak)
+    order: the last writer wins whole-row.
     """
-    salt = F.pmod(F.xxhash64(F.col("commit")), F.lit(num_salts)).alias("_salt")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(num_salts)).alias("_salt")
     winner = F.max_by(
         F.struct(*[F.col(c) for c in all_cols]),
-        F.struct(F.col("lsn"), F.col("commit")),
+        F.struct(*[F.col(c) for c in order_cols]),
     ).alias("_w")
     pre = unioned.groupBy(*key_cols, salt).agg(winner).select("_w.*")
 
     out_schema = StructType([pre.schema[c] for c in all_cols])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["lsn", "commit"], kind="stable")
-        last = pdf.iloc[[-1]]
-        if last["op"].iloc[0] == "delete":
-            return last.iloc[0:0]
-        return last
+        pdf = pdf.sort_values(order_cols, kind="stable")
+        return pdf.iloc[[-1]]
 
     return pre.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
 
@@ -191,7 +194,6 @@ def merge_batch(
     # -- 2. schema-evolution gate (T7) --------------------------------------
     schema, new_cols = _evolved_schema(table, batch)
     all_cols = [f.name for f in schema.fields]
-    data_cols = [c for c in all_cols if c != SHA_COL]
 
     # -- 3. bucket-stat pass: affected buckets + offset ranges (one job) ----
     nb = table.num_buckets
@@ -228,31 +230,43 @@ def merge_batch(
         return summary
 
     # -- 4. LWW resolve over (batch ∪ affected stored rows) ------------------
-    ev_aligned = _align(ev, StructType([f for f in schema.fields if f.name != SHA_COL]), ["op"])
-    ev_aligned = ev_aligned.withColumn(SHA_COL, F.lit(None).cast("string"))
-    ev_aligned = ev_aligned.select(*all_cols, "op")
-    stored = table.read(spark, buckets=affected, schema=schema)
+    # stored side INCLUDES tombstones: a winning delete stays in the table
+    # as a tombstone row so a duplicate/late lower-LSN insert re-delivery
+    # can never resurrect the key.
+    ev_aligned = _align(ev, schema, ["op"]).select(*all_cols, "op")
+    stored = table.read(spark, buckets=affected, schema=schema, include_tombstones=True)
     stored_aligned = stored.select(*all_cols).withColumn("op", F.lit(_STORED))
     unioned = ev_aligned.unionByName(stored_aligned)
 
+    # deterministic total order: (lsn, commit) — commit is unique per event;
+    # tables without a commit column fall back to lsn alone (SURVEY §7.4.3)
+    order_cols = [table.order_col] + (["commit"] if "commit" in all_cols else [])
     if resolve == "maxby":
-        resolved = _resolve_maxby(unioned, key_cols, all_cols + ["op"])
+        resolved = _resolve_maxby(unioned, key_cols, all_cols + ["op"], order_cols)
     elif resolve == "sorted_merge":
-        resolved = _resolve_sorted_merge(unioned, key_cols, all_cols + ["op"], num_salts)
+        resolved = _resolve_sorted_merge(unioned, key_cols, all_cols + ["op"], order_cols, num_salts)
     else:
         raise ValueError(f"unknown resolve strategy {resolve!r}")
 
-    final = (
-        resolved.filter(F.col("op") != "delete")
-        .withColumn(
-            SHA_COL,
-            F.when(F.col("op") == _STORED, F.col(SHA_COL)).otherwise(
-                F.when(F.col("content").isNotNull(), F.sha2(F.col("content"), 256))
-            ),
-        )
-        .drop("op")
-        .withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
+    is_del = (F.col("op") == "delete") | (
+        (F.col("op") == _STORED) & F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
     )
+    # winners: stored rows keep their sha; winning deletes become tombstones
+    # (payload nulled — only key + lsn are retained); new upserts get
+    # sha2(content) computed JVM-side.
+    final = resolved.withColumn(TOMBSTONE_COL, is_del).withColumn(
+        SHA_COL,
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(F.col("op") == _STORED, F.col(SHA_COL))
+        .otherwise(F.sha2(F.col("content"), 256) if "content" in all_cols else F.lit(None).cast("string")),
+    )
+    payload_cols = [
+        c for c in all_cols if c not in (*key_cols, table.order_col, TOMBSTONE_COL, SHA_COL)
+    ]
+    for c in payload_cols:
+        f = schema[c]
+        final = final.withColumn(c, F.when(is_del, F.lit(None).cast(f.dataType)).otherwise(F.col(c)))
+    final = final.drop("op").withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
 
     # -- 5. copy-on-write: rewrite affected buckets ---------------------------
     hook("pre_write")

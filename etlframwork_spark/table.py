@@ -44,6 +44,12 @@ from pyspark.sql.types import StructField, StructType
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 BUCKET_COL = "_bucket"
+# Hidden engine column: delete tombstones. A winning delete keeps a
+# tombstone row so a late/duplicate LOWER-lsn insert re-delivery can never
+# resurrect the key (classic CDC hazard). Reads filter+drop it by default;
+# purge_tombstones() reclaims space once re-delivery below a watermark is
+# impossible.
+TOMBSTONE_COL = "_deleted"
 
 
 def bucket_expr(key_cols: list[str], num_buckets: int):
@@ -80,6 +86,10 @@ class SnapshotTable:
         for k in key_cols + [order_col]:
             if k not in schema.fieldNames():
                 raise ValueError(f"key/order column {k!r} missing from schema")
+        if TOMBSTONE_COL not in schema.fieldNames():
+            from pyspark.sql.types import BooleanType
+
+            schema = StructType(schema.fields + [StructField(TOMBSTONE_COL, BooleanType(), True)])
         meta = {
             "format_version": 1,
             "name": name,
@@ -213,6 +223,7 @@ class SnapshotTable:
         buckets: Iterable[int] | None = None,
         schema_id: int | None = None,
         schema: StructType | None = None,
+        include_tombstones: bool = False,
     ) -> DataFrame:
         """Read a snapshot (time travel when ``snapshot_id`` given).
 
@@ -220,15 +231,22 @@ class SnapshotTable:
         additive evolution come back with nulls in new columns. By default
         that is the CURRENT registry schema (Iceberg read-with-current-
         schema); ``schema`` overrides it (used mid-merge for an evolution
-        that is not yet committed).
+        that is not yet committed). Delete tombstones are filtered out and
+        the hidden column dropped unless ``include_tombstones``.
         """
         if schema is None:
             sid = self.meta["current_schema_id"] if schema_id is None else schema_id
             schema = self.schema(sid)
         files = self.files_for(buckets=buckets, snapshot_id=snapshot_id)
         if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*files)
+        if not include_tombstones and TOMBSTONE_COL in schema.fieldNames():
+            df = df.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
+        return df
 
     # ---------------------------------------------------------------- commit
     def is_fence_committed(self, fence: str) -> bool:

@@ -10,8 +10,14 @@ import pytest
 
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from pyspark.sql.types import BooleanType
+
 from etlframwork_spark.events import TARGET_BASE_SCHEMA
-from etlframwork_spark.table import SnapshotTable
+from etlframwork_spark.table import TOMBSTONE_COL, SnapshotTable
+
+TARGET_WITH_TOMBSTONE = StructType(
+    TARGET_BASE_SCHEMA.fields + [StructField(TOMBSTONE_COL, BooleanType(), True)]
+)
 
 
 def _write_parquet(path, rows, cols):
@@ -38,7 +44,7 @@ def _mk(tmp_path):
 def test_create_load_roundtrip(tmp_path, spark):
     t = _mk(tmp_path)
     t2 = SnapshotTable.load(t.root)
-    assert t2.schema() == TARGET_BASE_SCHEMA
+    assert t2.schema() == TARGET_WITH_TOMBSTONE  # tombstone col auto-appended
     assert t2.key_cols == ["repo", "path"]
     assert t2.num_buckets == 4
     assert t2.read(spark).count() == 0
@@ -76,7 +82,7 @@ def test_fence_idempotence(tmp_path):
 
 def test_additive_schema_evolution(tmp_path, spark):
     t = _mk(tmp_path)
-    evolved = StructType(TARGET_BASE_SCHEMA.fields + [StructField("lang", StringType(), True)])
+    evolved = StructType(t.schema().fields + [StructField("lang", StringType(), True)])
     f1 = os.path.join(t.root, "data", "s1", "f1.parquet")
     # file written under the OLD schema (no lang)
     _write_parquet(f1, [{"repo": "a", "path": "p", "commit": "c", "content": "x", "lsn": 1, "content_sha256": "h"}], ARROW_BASE)
