@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All queries live in ``etlframwork_spark.operators`` (one per implemented
+operator from SURVEY.md §2 plus the training-data pipeline functions);
+importing the package populates the registries. tests/test_queries.py
+pre-runs the same Spark-vs-DuckDB comparison at sf0.001.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etlframwork_spark.operators import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship smoke query on /root/testdata/sf0.001: TPC-H-Q1-style
+    pricing summary (scan -> pushed filter -> decimal-exact hash agg)."""
+    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2; each callable
+    takes (spark, sf_dir) and returns a DataFrame. Aliases match
+    oracle_sql() exactly."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins for every SQL-expressible query.
+    Queries absent here (MinHash/SimHash/xxhash64-salting/ANN-LSH/
+    mapInPandas feature extraction/streaming CDC replay) are genuinely
+    non-SQL-expressible or engine-hash-specific -> rows-only check; their
+    correctness is asserted by dedicated pytest oracles instead
+    (tests/test_replay.py, tests/test_dedup.py, tests/test_similarity.py)."""
+    return dict(ORACLES)

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the correctness baseline) and an LSH-bucketed approximate variant (the
+scale path).
+
+Cross-engine determinism trick for the oracle-checked query: embeddings
+are quantized to integers (round(x * 1000)) before reduction — integer
+dot products are exact and order-independent, and sqrt/division on
+identical inputs are IEEE-correctly-rounded, so Spark and DuckDB produce
+bit-identical doubles with no float-sum ordering hazard.
+
+Scale posture: the query side is broadcast (top-k against N queries is a
+broadcast nested-loop + per-query top-k, no shuffle of the corpus); the
+LSH variant buckets by random-hyperplane sign codes so candidate
+generation is an equi-join on codes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.registry import query
+from ..sources.io import load_table
+
+_QUANT = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+
+
+def _quantized(df: DataFrame) -> DataFrame:
+    q = F.expr(_QUANT)
+    norm2 = F.expr("aggregate(q, 0L, (acc, v) -> acc + v * v)")
+    return df.withColumn("q", q).withColumn("norm2", norm2)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+
+    ``corpus``/``queries`` need columns (vec_id, q, norm2); the query side
+    is broadcast. Ordering ties break on neighbor id (unique)."""
+    qs = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("norm2").alias("qnorm2")
+        )
+    )
+    dot = F.expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    sim = dot.cast("double") / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double")))
+    pairs = (
+        corpus.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, q,
+               list_sum(list_transform(q, x -> x * x)) AS norm2
+        FROM v
+    ), pairs AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(list_zip(cv.q, qv.q), p -> p[1] * p[2])) AS DOUBLE)
+                   / (sqrt(CAST(cv.norm2 AS DOUBLE)) * sqrt(CAST(qv.norm2 AS DOUBLE))) AS cosine
+        FROM n cv, n qv
+        WHERE qv.vec_id % 100 = 0 AND cv.vec_id != qv.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+           cosine
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every 100th vector as query — the ANN
+    correctness baseline, integer-quantized for cross-engine exactness."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, qs, k=5)
+
+
+# ------------------------------------------------------- LSH-bucketed ANN
+_PLANES_SEED = 7
+_N_PLANES = 12
+
+
+def _planes(dim: int) -> list[list[float]]:
+    rng = np.random.default_rng(_PLANES_SEED)
+    return rng.standard_normal((_N_PLANES, dim)).round(6).tolist()
+
+
+def hyperplane_code(df: DataFrame, dim: int) -> DataFrame:
+    """Random-hyperplane sign code (deterministic seeded planes, JVM-side
+    dot products): vectors with equal codes are ANN candidates."""
+    planes = _planes(dim)
+    bits = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in p) + ")"
+        s = F.expr(
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return df.withColumn("code", code.cast("long"))
+
+
+@query("emb_ann_lsh")  # rows-only: float-sum order inside the plane dot
+def emb_ann_lsh(spark, sf_dir):
+    """Approximate NN via hyperplane-LSH bucketing: candidates share a
+    sign code; exact quantized cosine re-ranks within buckets. Recall vs
+    brute force is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    coded = _quantized(hyperplane_code(emb, dim))
+    a = coded.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
+    b = coded.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
+    dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    sim = dot.cast("double") / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    return (
+        a.join(b, ["code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )

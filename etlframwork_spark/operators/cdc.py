@@ -1,0 +1,89 @@
+"""Driver-visible CDC queries: a self-contained mini replay of the
+flagship streaming MERGE pipeline (rows-only — the real correctness gate
+for the CDC engine is the sequential-oracle sha256 equality in
+tests/test_replay.py, which SQL cannot express)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..events import EventLogSpec, generate_event_log
+from ..streaming.ingest import IngestJob, run_ingest
+from .registry import query
+
+
+@query("cdc_replay_final_state")  # rows-only: streaming MERGE is not SQL
+def cdc_replay_final_state(spark, sf_dir):
+    """End-to-end flagship: deterministic synthetic binlog (seed=42, with
+    schema evolution + duplicate segments) -> streaming ingest -> LWW MERGE
+    -> final snapshot. Deterministic output; sha256-vs-oracle equality for
+    this exact pipeline is asserted in tests/test_replay.py."""
+    spec = EventLogSpec(
+        seed=42, n_events=4000, n_repos=40, paths_per_repo=12,
+        p_delete=0.08, n_files=6, evolve_at=0.5, duplicate_ratio=0.1, hot_ratio=0.2,
+    )
+    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    try:
+        generate_event_log(os.path.join(work, "events"), spec)
+        job = IngestJob(
+            job_id="cdc-replay-query",
+            events_dir=os.path.join(work, "events"),
+            table_root=os.path.join(work, "table"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            metrics_dir=os.path.join(work, "metrics"),
+            num_buckets=8,
+            max_files_per_trigger=3,
+        )
+        table = run_ingest(spark, job)
+        out = (
+            table.read(spark)
+            .select("repo", "path", "commit", "lang", "lsn", "content_sha256")
+            .orderBy("repo", "path")
+        )
+        # materialize before the workdir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "cdc_lineage_rollup",
+    oracle=None,  # reads the engine's own metrics table -> rows-only
+)
+def cdc_lineage_rollup(spark, sf_dir):
+    """Lineage/metrics surface: replays a small log, then rolls up the
+    per-bucket lineage records and epoch throughput series (A4/T5)."""
+    spec = EventLogSpec(seed=17, n_events=2000, n_repos=20, paths_per_repo=8, n_files=4)
+    work = tempfile.mkdtemp(prefix="cdc_lineage_")
+    try:
+        generate_event_log(os.path.join(work, "events"), spec)
+        job = IngestJob(
+            job_id="cdc-lineage-query",
+            events_dir=os.path.join(work, "events"),
+            table_root=os.path.join(work, "table"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            metrics_dir=os.path.join(work, "metrics"),
+            num_buckets=8,
+            max_files_per_trigger=1,
+        )
+        run_ingest(spark, job)
+        lin = spark.read.parquet(os.path.join(work, "metrics", "lineage"))
+        out = (
+            lin.groupBy("epoch_id", "snapshot_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("rows").alias("rows"),
+                F.min("src_min_lsn").alias("src_min_lsn"),
+                F.max("src_max_lsn").alias("src_max_lsn"),
+            )
+            .orderBy("epoch_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

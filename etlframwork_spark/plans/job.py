@@ -1,0 +1,96 @@
+"""Declarative job/step-config pipeline spec — the [genre] surface.
+
+The reference is a job/step-config ETL framework (BASELINE.json:6): a job
+is an ordered list of typed steps (readers -> transforms -> writers). Here
+each step lowers directly to DataFrame operations — Catalyst is the
+executor; there is no custom scheduler (SURVEY.md §1.1 "Job/step config").
+
+Supported step types:
+
+    cdc_ingest      run the streaming CDC ingest (streaming/ingest.py)
+    read_parquet    {"path", "name"}                -> temp view `name`
+    read_table      {"table_root", "name", ...}     -> snapshot table view
+    sql             {"query", "name"}               -> temp view from SQL
+    transform       {"input", "name", "select"/"filter"/"with_columns"}
+    write_parquet   {"input", "path", "mode", "partition_by"}
+
+A job JSON document is what ``main.py`` consumes under
+``spark-submit --py-files engine.zip main.py job.json``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.ingest import IngestJob, run_ingest
+from ..table import SnapshotTable
+
+
+@dataclass
+class JobSpec:
+    job_id: str
+    steps: list[dict[str, Any]] = field(default_factory=list)
+
+    @classmethod
+    def from_json(cls, path_or_str: str) -> "JobSpec":
+        if path_or_str.strip().startswith("{"):
+            d = json.loads(path_or_str)
+        else:
+            with open(path_or_str) as f:
+                d = json.load(f)
+        return cls(job_id=d["job_id"], steps=d.get("steps", []))
+
+
+def _apply_transform(df: DataFrame, step: dict[str, Any]) -> DataFrame:
+    if "filter" in step:
+        df = df.filter(step["filter"])
+    if "with_columns" in step:
+        for name, expr in step["with_columns"].items():
+            df = df.selectExpr("*", f"({expr}) AS {name}")
+    if "select" in step:
+        df = df.selectExpr(*step["select"])
+    return df
+
+
+def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
+    """Execute the job's steps in order; returns a per-step result summary."""
+    results: dict[str, Any] = {}
+    for i, step in enumerate(spec.steps):
+        kind = step["type"]
+        name = step.get("name", f"step{i}")
+        if kind == "cdc_ingest":
+            job = IngestJob.from_dict({"job_id": spec.job_id, **step})
+            table = run_ingest(spark, job)
+            results[name] = {
+                "type": kind,
+                "snapshot_id": table.snapshot()["snapshot_id"],
+                "schema_id": table.meta["current_schema_id"],
+            }
+        elif kind == "read_parquet":
+            spark.read.parquet(step["path"]).createOrReplaceTempView(name)
+            results[name] = {"type": kind}
+        elif kind == "read_table":
+            t = SnapshotTable.load(step["table_root"])
+            t.read(spark, snapshot_id=step.get("snapshot_id")).createOrReplaceTempView(name)
+            results[name] = {"type": kind, "snapshot_id": t.snapshot()["snapshot_id"]}
+        elif kind == "sql":
+            spark.sql(step["query"]).createOrReplaceTempView(name)
+            results[name] = {"type": kind}
+        elif kind == "transform":
+            df = _apply_transform(spark.table(step["input"]), step)
+            df.createOrReplaceTempView(name)
+            results[name] = {"type": kind}
+        elif kind == "write_parquet":
+            df = spark.table(step["input"])
+            w = df.write.mode(step.get("mode", "overwrite")).option("compression", "zstd")
+            if step.get("partition_by"):
+                w = w.partitionBy(*step["partition_by"])
+            w.parquet(step["path"])
+            results[name] = {"type": kind, "path": step["path"]}
+        else:
+            raise ValueError(f"unknown step type {kind!r}")
+    return results
