@@ -92,49 +92,61 @@ def emb_cosine_topk(spark, sf_dir):
 
 
 # ------------------------------------------------------- LSH-bucketed ANN
+# Multi-table random-hyperplane LSH: L independent tables of B planes.
+# A pair is a candidate if it collides in ANY table. For cosine ~0.95
+# (agree prob ~0.9/plane): P(hit) = 1 - (1 - 0.9^B)^L ~ 0.95 with B=6, L=4
+# — single-table codes top out near 0.9^12 ~ 0.28 recall.
 _PLANES_SEED = 7
-_N_PLANES = 12
+_N_TABLES = 4
+_BITS_PER_TABLE = 6
 
 
-def _planes(dim: int) -> list[list[float]]:
+def _planes(dim: int) -> np.ndarray:
     rng = np.random.default_rng(_PLANES_SEED)
-    return rng.standard_normal((_N_PLANES, dim)).round(6).tolist()
+    return rng.standard_normal((_N_TABLES, _BITS_PER_TABLE, dim)).round(6)
 
 
-def hyperplane_code(df: DataFrame, dim: int) -> DataFrame:
-    """Random-hyperplane sign code (deterministic seeded planes, JVM-side
-    dot products): vectors with equal codes are ANN candidates."""
+def hyperplane_codes(df: DataFrame, dim: int) -> DataFrame:
+    """Append ``codes: array<long>`` — one sign code per LSH table
+    (deterministic seeded planes, JVM-side dot products)."""
     planes = _planes(dim)
-    bits = []
-    for i, p in enumerate(planes):
-        arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in p) + ")"
-        s = F.expr(
-            f"aggregate(zip_with(embedding, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        bits.append(F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    code = bits[0]
-    for b in bits[1:]:
-        code = code + b
-    return df.withColumn("code", code.cast("long"))
+    codes = []
+    for t in range(_N_TABLES):
+        bits = []
+        for i in range(_BITS_PER_TABLE):
+            arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in planes[t, i]) + ")"
+            s = F.expr(
+                f"aggregate(zip_with(embedding, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bits.append(F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        code = bits[0]
+        for b in bits[1:]:
+            code = code + b
+        # disambiguate tables by offsetting the code space
+        codes.append((code + F.lit(t << _BITS_PER_TABLE)).cast("long"))
+    return df.withColumn("codes", F.array(*codes))
 
 
 @query("emb_ann_lsh")  # rows-only: float-sum order inside the plane dot
 def emb_ann_lsh(spark, sf_dir):
-    """Approximate NN via hyperplane-LSH bucketing: candidates share a
-    sign code; exact quantized cosine re-ranks within buckets. Recall vs
-    brute force is asserted in tests/test_similarity.py."""
+    """Approximate NN via multi-table hyperplane LSH: candidates collide in
+    >=1 table's sign code; exact quantized cosine re-ranks within buckets.
+    Candidate generation is an equi-join on exploded codes (one shuffle,
+    no quadratic scan). Recall asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    coded = _quantized(hyperplane_code(emb, dim))
-    a = coded.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
-    b = coded.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
+    coded = _quantized(hyperplane_codes(emb, dim))
+    e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
     dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
     sim = dot.cast("double") / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
     return (
         a.join(b, ["code"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= 0.8)
         .orderBy("id_a", "id_b")
     )

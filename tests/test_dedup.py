@@ -1,0 +1,90 @@
+"""Quality oracles for the non-SQL dedup operators (MinHash+LSH, SimHash):
+verified against exact shingle-set Jaccard computed in plain Python on a
+constructed corpus with known near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+from etlframwork_spark.functions.dedup import (
+    NUM_PERM,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+)
+
+WORDS = [f"w{i}" for i in range(200)]
+
+
+def _corpus():
+    """30 base docs + a ~90%-overlap mutation of each + 20 unrelated docs."""
+    rng = random.Random(42)
+    docs = []
+    for i in range(30):
+        base = [rng.choice(WORDS) for _ in range(60)]
+        docs.append((i, " ".join(base)))
+        mut = list(base)
+        for _ in range(2):  # mutate ~3% of tokens (each kills <=3 shingles/side)
+            mut[rng.randrange(len(mut))] = rng.choice(WORDS)
+        docs.append((1000 + i, " ".join(mut)))
+    for i in range(20):
+        docs.append((2000 + i, " ".join(rng.choice(WORDS) for _ in range(60))))
+    return docs
+
+
+def _shingles(text: str, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _true_jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = minhash_signature(df)
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(sigs).collect()
+    }
+    by_id = dict(docs)
+    # ground truth: all pairs with true jaccard >= 0.7 (the planted mutations)
+    ids = sorted(by_id)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _true_jaccard(by_id[a], by_id[b]) >= 0.7
+    }
+    assert len(truth) >= 25  # the planted pairs exist
+    found = truth & set(cands)
+    recall = len(found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
+    # estimates should track the true jaccard within MinHash error bounds
+    for (a, b) in found:
+        tj = _true_jaccard(by_id[a], by_id[b])
+        assert abs(cands[(a, b)] - tj) <= 2.5 / (NUM_PERM**0.5), (a, b, tj, cands[(a, b)])
+
+
+def test_minhash_identical_docs_full_signature_match(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    pairs = lsh_candidate_pairs(minhash_signature(df)).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_exact_and_near(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs + [(9999, docs[0][1])], ["doc_id", "text"])
+    codes = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    # identical text -> identical code
+    assert codes[9999] == codes[docs[0][0]]
+    # planted near-dups -> small hamming distance on average
+    dists = [bin(codes[i] ^ codes[1000 + i]).count("1") for i in range(30)]
+    assert sum(dists) / len(dists) <= 4.0, f"mean hamming {sum(dists)/len(dists)}"

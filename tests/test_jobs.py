@@ -1,0 +1,90 @@
+"""Job/step-config pipeline + spark-submit --py-files launch
+(BASELINE.json:6 launch contract)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+from etlframwork_spark.events import EventLogSpec, generate_event_log
+from etlframwork_spark.plans import JobSpec, run_job
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spec(tmp_path) -> dict:
+    return {
+        "job_id": "jobtest",
+        "steps": [
+            {
+                "type": "cdc_ingest",
+                "name": "ingest",
+                "events_dir": str(tmp_path / "events"),
+                "table_root": str(tmp_path / "table"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "metrics_dir": str(tmp_path / "metrics"),
+                "num_buckets": 4,
+                "max_files_per_trigger": 2,
+            },
+            {"type": "read_table", "name": "repos", "table_root": str(tmp_path / "table")},
+            {
+                "type": "transform",
+                "name": "by_repo",
+                "input": "repos",
+                "with_columns": {"content_len": "length(content)"},
+                "select": ["repo", "content_len"],
+            },
+            {
+                "type": "sql",
+                "name": "rollup",
+                "query": "SELECT repo, COUNT(*) AS n, SUM(content_len) AS bytes FROM by_repo GROUP BY repo",
+            },
+            {"type": "write_parquet", "name": "out", "input": "rollup", "path": str(tmp_path / "out")},
+        ],
+    }
+
+
+def test_job_pipeline_end_to_end(spark, tmp_path):
+    generate_event_log(
+        str(tmp_path / "events"), EventLogSpec(seed=6, n_events=1000, n_repos=10, paths_per_repo=6, n_files=3)
+    )
+    results = run_job(spark, JobSpec(job_id="jobtest", steps=_spec(tmp_path)["steps"]))
+    assert results["ingest"]["snapshot_id"] >= 1
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 10
+    assert set(out.columns) == {"repo", "n", "bytes"}
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_launch(tmp_path):
+    """The BJ:6 launch path: spark-submit --py-files engine.zip main.py."""
+    generate_event_log(
+        str(tmp_path / "events"), EventLogSpec(seed=6, n_events=500, n_repos=5, paths_per_repo=4, n_files=2)
+    )
+    subprocess.run(["bash", os.path.join(REPO, "scripts", "package.sh")], check=True, capture_output=True)
+    job_path = tmp_path / "job.json"
+    job_path.write_text(json.dumps(_spec(tmp_path)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            os.path.join(REPO, "dist", "engine.zip"),
+            os.path.join(REPO, "main.py"),
+            str(job_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),  # make sure the engine comes from the zip, not cwd
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith('{"job_id"')][-1]
+    out = json.loads(line)
+    assert out["steps"]["ingest"]["snapshot_id"] >= 1

@@ -1,0 +1,72 @@
+"""ANN quality oracle: hyperplane-LSH candidate generation vs brute-force
+cosine on clustered synthetic vectors + the testdata embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from etlframwork_spark.functions.similarity import _quantized, cosine_topk, hyperplane_codes
+
+SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+)
+
+
+def _clustered(n_clusters=20, per_cluster=5, dim=32, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + 0.03 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_hyperplane_lsh_recall_on_clusters(spark):
+    rows = _clustered()
+    df = spark.createDataFrame(rows, SCHEMA)
+    dim = len(rows[0][1])
+    coded = {r["vec_id"]: set(r["codes"]) for r in hyperplane_codes(df, dim).collect()}
+    vecs = {vid: np.array(v) for vid, v in rows}
+    ids = sorted(vecs)
+    truth = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            cs = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if cs >= 0.95:
+                truth.append((a, b))
+    assert len(truth) >= 100  # in-cluster pairs
+    hit = sum(1 for a, b in truth if coded[a] & coded[b])
+    recall = hit / len(truth)
+    assert recall >= 0.8, f"multi-table LSH recall {recall:.2f} too low"
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    from etlframwork_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1000) for r in rows}
+    q = _quantized(emb)
+    queries = q.filter(F.col("vec_id") % 100 == 0)
+    got = cosine_topk(q, queries, k=3).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, neighbors in by_query.items():
+        qv = vecs[qid]
+        sims = {
+            vid: float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expect = [vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+        assert neighbors == expect, f"query {qid}: {neighbors} vs {expect}"
