@@ -1,0 +1,124 @@
+"""Headline benchmark: prints ONE JSON line for the driver.
+
+Runs the representative query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship CDC
+replay throughput bench (synthetic 200k-event binlog -> streaming MERGE).
+
+Output: {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "cdc_events_per_sec": ..., "cdc_events": ...}
+
+Query timing uses the noop sink (full compute, no driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "filter_project_pushdown",
+    "lww_dedup_events",
+    "window_rank_orders",
+    "rollup_order_metrics",
+    "topk_hot_users",
+    "json_extract_events",
+    "docs_token_stats",
+    "docs_exact_dedup",
+    "docs_minhash_lsh",
+    "docs_fingerprint",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "multimodal_feature_extract",
+]
+
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+
+
+def _time_query(fn, spark, sf_dir) -> float:
+    t0 = time.monotonic()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def _cdc_bench(spark, n_events: int) -> dict:
+    from etlframwork_spark.events import EventLogSpec, generate_event_log
+    from etlframwork_spark.streaming import IngestJob, run_ingest
+
+    spec = EventLogSpec(
+        seed=42, n_events=n_events, n_repos=max(200, n_events // 500),
+        paths_per_repo=40, hot_ratio=0.2, p_delete=0.05, n_files=8, content_repeat=2,
+    )
+    # cache the generated log across runs (generation is not what we measure)
+    cache = os.path.join(tempfile.gettempdir(), f"cdc_bench_log_{spec.seed}_{n_events}")
+    if not os.path.isdir(cache) or not os.listdir(cache):
+        generate_event_log(cache, spec)
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        job = IngestJob(
+            job_id="bench",
+            events_dir=cache,
+            table_root=os.path.join(work, "table"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            metrics_dir=os.path.join(work, "metrics"),
+            num_buckets=32,
+            max_files_per_trigger=4,
+        )
+        t0 = time.monotonic()
+        table = run_ingest(spark, job)
+        secs = time.monotonic() - t0
+        rows = table.read(spark).count()
+        return {
+            "cdc_events": n_events,
+            "cdc_seconds": round(secs, 3),
+            "cdc_events_per_sec": round(n_events / secs, 1),
+            "cdc_final_rows": rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from etlframwork_spark.operators import QUERIES
+    from etlframwork_spark.session import build_session
+
+    spark = build_session(master=f"local[{cpus}]", app_name="etlframwork-bench")
+    try:
+        # JVM/codegen warmup on a trivial action
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            timings[name] = round(_time_query(QUERIES[name], spark, sf_dir), 3)
+        cdc = _cdc_bench(spark, CDC_EVENTS)
+        total = round(sum(timings.values()) + cdc["cdc_seconds"], 3)
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline suite wall time (generic ops + CDC replay)",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": {**timings, "cdc_replay": cdc["cdc_seconds"]},
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    **cdc,
+                    "cpus": int(cpus),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Table maintenance: tombstone purge + snapshot/file GC.
+
+At 10^10-event scale delete tombstones accrue without bound. A tombstone
+is only needed while a LOWER-lsn event for its key could still be
+(re)delivered; once the stream's checkpointed offset log guarantees every
+source offset below ``watermark_lsn`` is fully committed, tombstones with
+``lsn < watermark_lsn`` are dead weight and can be dropped by a
+copy-on-write rewrite. Snapshot expiry + vacuum then reclaim the old
+files (table.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .table import BUCKET_COL, TOMBSTONE_COL, SnapshotTable, bucket_expr
+
+
+def purge_tombstones(
+    spark: SparkSession, table: SnapshotTable, watermark_lsn: int
+) -> dict:
+    """Rewrite buckets containing purgeable tombstones (rows with
+    ``_deleted AND lsn < watermark_lsn``); untouched buckets carry forward
+    by reference. Returns counts. Safe only when the ingest checkpoint
+    guarantees no re-delivery below ``watermark_lsn``."""
+    table.refresh()
+    full = table.read(spark, include_tombstones=True)
+    purgeable = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) & (
+        F.col(table.order_col) < F.lit(watermark_lsn)
+    )
+    nb = table.num_buckets
+    hit = (
+        full.filter(purgeable)
+        .select(bucket_expr(table.key_cols, nb).alias(BUCKET_COL))
+        .groupBy(BUCKET_COL)
+        .count()
+        .collect()
+    )
+    buckets = sorted(r[BUCKET_COL] for r in hit)
+    n_purged = sum(r["count"] for r in hit)
+    if not buckets:
+        return {"buckets_rewritten": 0, "tombstones_purged": 0}
+
+    keep = (
+        table.read(spark, buckets=buckets, include_tombstones=True)
+        .filter(~purgeable)
+        .withColumn(BUCKET_COL, bucket_expr(table.key_cols, nb))
+    )
+    data_dir = table.new_data_dir()
+    (
+        keep.repartition(max(len(buckets), 1), F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .option("compression", "zstd")
+        .parquet(data_dir)
+    )
+    from .merge import _list_written_files
+
+    files_by_bucket = _list_written_files(data_dir)
+    table.commit(
+        files_by_bucket,
+        buckets,
+        summary={"operation": "purge_tombstones", "watermark_lsn": watermark_lsn, "purged": n_purged},
+    )
+    return {"buckets_rewritten": len(buckets), "tombstones_purged": n_purged}
+
+
+def full_maintenance(
+    spark: SparkSession, table: SnapshotTable, watermark_lsn: int, keep_snapshots: int = 5
+) -> dict:
+    """purge_tombstones + expire_snapshots + vacuum in one sweep."""
+    out = purge_tombstones(spark, table, watermark_lsn)
+    out["snapshots_expired"] = table.expire_snapshots(keep_last=keep_snapshots)
+    out["files_vacuumed"] = table.vacuum()
+    return out

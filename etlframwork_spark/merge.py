@@ -269,9 +269,20 @@ def merge_batch(
     final = final.drop("op").withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
 
     # -- 5. copy-on-write: rewrite affected buckets ---------------------------
+    # Bucket-aligned write distribution (Iceberg's hash mode): route each
+    # bucket to exactly ONE task so an epoch writes ONE file per affected
+    # bucket. Without this, every shuffle partition writes a sliver into
+    # every bucket directory (tasks x buckets tiny files) and subsequent
+    # epochs drown in file-open overhead. Parallelism is bounded by
+    # #affected buckets — size num_buckets >= cluster cores at scale.
     hook("pre_write")
     data_dir = table.new_data_dir()
-    final.write.partitionBy(BUCKET_COL).option("compression", "zstd").parquet(data_dir)
+    (
+        final.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .option("compression", "zstd")
+        .parquet(data_dir)
+    )
     files_by_bucket = _list_written_files(data_dir)
 
     # -- 6. fenced atomic commit ---------------------------------------------

@@ -1,0 +1,113 @@
+"""Single CDC replay throughput run at a fixed parallelism (one JVM).
+
+Used by bench_scaling.py via subprocess so each parallelism level gets a
+fresh JVM (no heap/codegen carry-over between measurements).
+
+    python scripts/bench_cdc.py --cpus 8 --events 2000000 [--resolve maxby]
+
+Prints one JSON line with events/sec and the final-state row count +
+content-digest checksum (so both levels can be asserted identical).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--resolve", default="maxby")
+    ap.add_argument("--hot-ratio", type=float, default=0.2)
+    ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--files", type=int, default=32)
+    ap.add_argument("--files-per-trigger", type=int, default=16)
+    ap.add_argument("--content-repeat", type=int, default=30)
+    args = ap.parse_args()
+
+    from etlframwork_spark.events import EventLogSpec, generate_event_log
+    from etlframwork_spark.session import build_session
+    from etlframwork_spark.streaming import IngestJob, run_ingest
+
+    spec = EventLogSpec(
+        seed=42, n_events=args.events, n_repos=max(200, args.events // 500),
+        paths_per_repo=40, hot_ratio=args.hot_ratio, p_delete=0.05,
+        n_files=args.files, content_repeat=args.content_repeat,
+    )
+    cache = os.path.join(
+        tempfile.gettempdir(), f"cdc_bench_log_{spec.seed}_{args.events}_{args.files}_{args.hot_ratio}_{args.content_repeat}"
+    )
+    if not os.path.isdir(cache) or not os.listdir(cache):
+        generate_event_log(cache, spec)
+
+    spark = build_session(master=f"local[{args.cpus}]", app_name=f"cdc-bench-{args.cpus}")
+    work = tempfile.mkdtemp(prefix=f"cdc_scale_{args.cpus}_")
+    try:
+        # Warm the EXACT pipeline (JIT-compile the codegen'd merge stages +
+        # parquet/zstd codecs) on a small throwaway ingest before timing —
+        # cold C2 compilation otherwise dominates short runs and masks
+        # scaling entirely.
+        warm_spec = EventLogSpec(seed=7, n_events=50_000, n_repos=100, paths_per_repo=20,
+                                 n_files=args.cpus, content_repeat=args.content_repeat)
+        warm_dir = os.path.join(work, "warm_events")
+        generate_event_log(warm_dir, warm_spec)
+        run_ingest(
+            spark,
+            IngestJob(
+                job_id="warmup",
+                events_dir=warm_dir,
+                table_root=os.path.join(work, "warm_table"),
+                checkpoint_dir=os.path.join(work, "warm_ckpt"),
+                num_buckets=args.num_buckets,
+                max_files_per_trigger=args.cpus // 2,
+                resolve=args.resolve,
+            ),
+        )
+        job = IngestJob(
+            job_id="scale-bench",
+            events_dir=cache,
+            table_root=os.path.join(work, "table"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            num_buckets=args.num_buckets,
+            max_files_per_trigger=args.files_per_trigger,
+            resolve=args.resolve,
+        )
+        t0 = time.monotonic()
+        table = run_ingest(spark, job)
+        secs = time.monotonic() - t0
+        final = table.read(spark)
+        from pyspark.sql import functions as F
+
+        chk = final.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.crc32(F.col("content_sha256"))).alias("digest"),
+        ).first()
+        print(
+            json.dumps(
+                {
+                    "cpus": args.cpus,
+                    "events": args.events,
+                    "seconds": round(secs, 3),
+                    "events_per_sec": round(args.events / secs, 1),
+                    "resolve": args.resolve,
+                    "final_rows": chk["rows"],
+                    "state_digest": int(chk["digest"]),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
