@@ -21,6 +21,7 @@ BANNED = [
 # .collect() is allowed ONLY for O(#buckets)/O(#files) metadata, never data
 COLLECT_ALLOWED = {
     "merge.py",  # bucket-stat rows (<= num_buckets)
+    "maintenance.py",  # purgeable-bucket rows (<= num_buckets)
     "cdc.py",  # driver-contract queries materialize their tiny results
     "similarity.py",  # single-row dim probe
 }
