@@ -102,8 +102,8 @@ class EventLog:
     evolved_from_file: int | None = None  # index of first file carrying `lang`
 
 
-def _make_events_frame(spec: EventLogSpec) -> pd.DataFrame:
-    """All events of the log, in ARRIVAL order, as a pandas frame."""
+def _make_events_meta(spec: EventLogSpec) -> dict[str, np.ndarray]:
+    """Numeric skeleton of the log in ARRIVAL order (cheap: numpy only)."""
     rng = np.random.default_rng(spec.seed)
     n = spec.n_events
 
@@ -113,42 +113,64 @@ def _make_events_frame(spec: EventLogSpec) -> pd.DataFrame:
         hot = rng.random(n) < spec.hot_ratio
         repo_idx = np.where(hot, 0, repo_idx)
     path_idx = rng.integers(0, spec.paths_per_repo, size=n)
-    ext_idx = path_idx % len(_EXTS)
 
     # --- ops ---------------------------------------------------------------
     u = rng.random(n)
-    op = np.where(u < spec.p_delete, "delete", np.where(u < spec.p_delete + spec.p_insert, "insert", "update"))
+    op_code = np.where(u < spec.p_delete, 0, np.where(u < spec.p_delete + spec.p_insert, 1, 2))
 
     # --- LSN: unique total order; arrival is locally shuffled --------------
     lsn = np.arange(n, dtype=np.int64)
     arrival_key = lsn + rng.uniform(0, max(1, spec.shuffle_window), size=n)
     arrival = np.argsort(arrival_key, kind="stable")
+    return {
+        "op_code": op_code[arrival],
+        "lsn": lsn[arrival],
+        "repo_idx": repo_idx[arrival],
+        "path_idx": path_idx[arrival],
+    }
 
+
+_OP_NAMES = np.array(["delete", "insert", "update"], dtype=object)
+
+
+def _strings_for_slice(meta: dict[str, np.ndarray], lo: int, hi: int, content_repeat: int) -> pd.DataFrame:
+    """Materialize the string columns for arrival rows [lo, hi) — every
+    value is a pure function of the numeric skeleton, so chunked
+    materialization is byte-identical to whole-frame materialization
+    (memory stays bounded by the segment size even for 10^7+ event logs)."""
+    repo_idx = meta["repo_idx"][lo:hi]
+    path_idx = meta["path_idx"][lo:hi]
+    lsn = meta["lsn"][lo:hi]
+    op = _OP_NAMES[meta["op_code"][lo:hi]]
+    ext_idx = path_idx % len(_EXTS)
     df = pd.DataFrame(
         {
-            "op": pd.array(op[arrival], dtype="string"),
-            "lsn": lsn[arrival],
-            "_repo_idx": repo_idx[arrival],
-            "_path_idx": path_idx[arrival],
-            "_ext_idx": ext_idx[arrival],
+            "op": pd.array(op, dtype="string"),
+            "lsn": lsn,
         }
     )
-    org = (df["_repo_idx"] // 10).astype(str)
-    df["repo"] = ("org" + org + "/repo" + df["_repo_idx"].astype(str)).astype("string")
-    ext = pd.Series(np.array(_EXTS, dtype=object)[df["_ext_idx"].to_numpy()], index=df.index)
-    df["path"] = ("src/mod" + (df["_path_idx"] // 10).astype(str) + "/f" + df["_path_idx"].astype(str) + "." + ext).astype(
-        "string"
-    )
+    ridx = pd.Series(repo_idx, index=df.index)
+    pidx = pd.Series(path_idx, index=df.index)
+    df["repo"] = ("org" + (ridx // 10).astype(str) + "/repo" + ridx.astype(str)).astype("string")
+    ext = pd.Series(np.array(_EXTS, dtype=object)[ext_idx], index=df.index)
+    df["path"] = ("src/mod" + (pidx // 10).astype(str) + "/f" + pidx.astype(str) + "." + ext).astype("string")
     df["lang"] = pd.Series(
-        np.array([_EXT_LANG[e] for e in _EXTS], dtype=object)[df["_ext_idx"].to_numpy()], index=df.index
+        np.array([_EXT_LANG[e] for e in _EXTS], dtype=object)[ext_idx], index=df.index
     ).astype("string")
     # commit: unique 40-hex derived from lsn (cheap, deterministic)
-    df["commit"] = df["lsn"].map(lambda x: format(x, "040x")).astype("string")
-    body = "// " + df["repo"] + "/" + df["path"] + "@" + df["lsn"].astype(str) + "\n"
-    filler = "fn unit() -> u64 { " + df["lsn"].astype(str) + " }\n"
-    df["content"] = (body + filler * spec.content_repeat).astype("string")
+    df["commit"] = pd.Series(lsn).map(lambda x: format(x, "040x")).astype("string").values
+    lsn_str = df["lsn"].astype(str)
+    body = "// " + df["repo"] + "/" + df["path"] + "@" + lsn_str + "\n"
+    filler = "fn unit() -> u64 { " + lsn_str + " }\n"
+    df["content"] = (body + filler * content_repeat).astype("string")
     df.loc[df["op"] == "delete", "content"] = pd.NA
-    return df.drop(columns=["_repo_idx", "_path_idx", "_ext_idx"])
+    return df
+
+
+def _make_events_frame(spec: EventLogSpec) -> pd.DataFrame:
+    """All events of the log, in ARRIVAL order, as a pandas frame."""
+    meta = _make_events_meta(spec)
+    return _strings_for_slice(meta, 0, spec.n_events, spec.content_repeat)
 
 
 def _write_segment(df: pd.DataFrame, path: str, with_lang: bool) -> None:
@@ -176,16 +198,17 @@ def generate_event_log(out_dir: str, spec: EventLogSpec) -> EventLog:
     re-deliver a sample of already-delivered events (at-least-once input).
     """
     os.makedirs(out_dir, exist_ok=True)
-    df = _make_events_frame(spec)
-    n = len(df)
+    meta = _make_events_meta(spec)
+    n = spec.n_events
     bounds = np.linspace(0, n, spec.n_files + 1).astype(int)
     evolve_row = int(spec.evolve_at * n) if spec.evolve_at is not None else None
     log = EventLog(dir=out_dir, spec=spec)
     for i in range(spec.n_files):
-        seg = df.iloc[bounds[i] : bounds[i + 1]]
-        if len(seg) == 0:
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi <= lo:
             continue
-        with_lang = evolve_row is not None and bounds[i] >= evolve_row
+        seg = _strings_for_slice(meta, lo, hi, spec.content_repeat)
+        with_lang = evolve_row is not None and lo >= evolve_row
         if with_lang and log.evolved_from_file is None:
             log.evolved_from_file = i
         seg = seg if with_lang else seg.drop(columns=["lang"])
@@ -195,7 +218,8 @@ def generate_event_log(out_dir: str, spec: EventLogSpec) -> EventLog:
     if spec.duplicate_ratio > 0:
         rng = np.random.default_rng(spec.seed + 1)
         k = int(n * spec.duplicate_ratio)
-        dup = df.iloc[np.sort(rng.choice(n, size=k, replace=False))]
+        picks = np.sort(rng.choice(n, size=k, replace=False))
+        dup = _strings_for_slice({c: v[picks] for c, v in meta.items()}, 0, k, spec.content_repeat)
         with_lang = evolve_row is not None and evolve_row <= 0
         p = os.path.join(out_dir, f"events-{spec.n_files:05d}-dup.parquet")
         _write_segment(dup.drop(columns=[] if with_lang else ["lang"]), p, with_lang)
