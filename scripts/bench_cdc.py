@@ -77,6 +77,7 @@ def main() -> None:
             events_dir=cache,
             table_root=os.path.join(work, "table"),
             checkpoint_dir=os.path.join(work, "ckpt"),
+            metrics_dir=os.path.join(work, "metrics"),
             num_buckets=args.num_buckets,
             max_files_per_trigger=args.files_per_trigger,
             resolve=args.resolve,
@@ -91,6 +92,16 @@ def main() -> None:
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.crc32(F.col("content_sha256"))).alias("digest"),
         ).first()
+        # steady-state throughput: per-epoch metrics, excluding the first
+        # epoch (JIT/page-cache warm-up) — the regime that matters for a
+        # 10^10-event replay where warm-up is a rounding error.
+        eps = sorted(
+            (r["epoch_id"], r["events"], r["seconds"])
+            for r in spark.read.parquet(os.path.join(work, "metrics", "epochs")).collect()
+        )
+        steady = eps[1:] if len(eps) > 1 else eps
+        s_events = sum(e for _i, e, _s in steady)
+        s_secs = sum(s for _i, _e, s in steady)
         print(
             json.dumps(
                 {
@@ -98,6 +109,9 @@ def main() -> None:
                     "events": args.events,
                     "seconds": round(secs, 3),
                     "events_per_sec": round(args.events / secs, 1),
+                    "steady_events_per_sec": round(s_events / s_secs, 1) if s_secs else None,
+                    "steady_epochs": len(steady),
+                    "epoch_seconds": [round(s, 2) for _i, _e, s in eps],
                     "resolve": args.resolve,
                     "final_rows": chk["rows"],
                     "state_digest": int(chk["digest"]),
