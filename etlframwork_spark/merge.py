@@ -196,6 +196,7 @@ def merge_batch(
     all_cols = [f.name for f in schema.fields]
 
     # -- 3. bucket-stat pass: affected buckets + offset ranges (one job) ----
+    t_stats0 = time.monotonic()
     nb = table.num_buckets
     bstats = (
         ev.groupBy(bucket_expr(key_cols, nb).alias(BUCKET_COL))
@@ -213,6 +214,7 @@ def merge_batch(
     src_lo = min((r["lo"] for r in bstats), default=None)
     src_hi = max((r["hi"] for r in bstats), default=None)
 
+    timings: dict[str, float] = {"stats": round(time.monotonic() - t_stats0, 2)}
     summary: dict[str, Any] = {
         "fence": fence,
         "events": n_events,
@@ -227,6 +229,7 @@ def merge_batch(
         snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
         summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
         summary["skipped"] = snap is None
+        summary["timings"] = timings
         return summary
 
     # -- 4. LWW resolve over (batch ∪ affected stored rows) ------------------
@@ -276,6 +279,7 @@ def merge_batch(
     # epochs drown in file-open overhead. Parallelism is bounded by
     # #affected buckets — size num_buckets >= cluster cores at scale.
     hook("pre_write")
+    t_w0 = time.monotonic()
     data_dir = table.new_data_dir()
     (
         final.repartition(max(len(affected), 1), F.col(BUCKET_COL))
@@ -283,23 +287,27 @@ def merge_batch(
         .option("compression", "zstd")
         .parquet(data_dir)
     )
+    timings["resolve_write"] = round(time.monotonic() - t_w0, 2)
     files_by_bucket = _list_written_files(data_dir)
 
     # -- 6. fenced atomic commit ---------------------------------------------
     hook("pre_commit")
+    t_c0 = time.monotonic()
     snap = table.commit(
         files_by_bucket,
         affected,
         fence=fence,
         new_schema=schema if new_cols else None,
-        summary={**summary, "operation": "merge"},
+        summary={**summary, "operation": "merge", "timings": timings},
     )
     if snap is None:  # fence raced us — our files are orphans, vacuum later
         summary["skipped"] = True
         return summary
     hook("post_commit")
+    timings["commit"] = round(time.monotonic() - t_c0, 2)
 
     # -- 7. lineage + throughput metrics --------------------------------------
+    t_l0 = time.monotonic()
     secs = time.monotonic() - t0
     summary.update(
         snapshot_id=snap["snapshot_id"],
@@ -307,10 +315,12 @@ def merge_batch(
         seconds=secs,
         events_per_sec=(n_events / secs if secs > 0 else None),
     )
+    timings["lineage"] = 0.0
     if metrics is not None:
         metrics.emit_lineage(
             job_id, epoch_id, snap["snapshot_id"], files_by_bucket, src_lo, src_hi, table.root
         )
+        timings["lineage"] = round(time.monotonic() - t_l0, 2)
         metrics.emit_epoch(
             {
                 "job_id": job_id,
@@ -326,4 +336,5 @@ def merge_batch(
                 "events_per_sec": summary["events_per_sec"],
             }
         )
+    summary["timings"] = timings
     return summary
