@@ -121,6 +121,40 @@ def _resolve_maxby(
     return unioned.groupBy(*key_cols).agg(winner).select("_w.*")
 
 
+def _resolve_two_phase(
+    unioned: DataFrame, key_cols: list[str], all_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """LWW with minimal payload movement — the large-row scale path.
+
+    ``maxby`` shuffles every full row (large ``content``) into the
+    group-by exchange. Here the winner per key is chosen on a SLIM
+    projection (keys + order columns, ~50B/row — column pruning means the
+    underlying scans don't even read content), then the full rows are
+    fetched back with a null-safe LEFT SEMI join on (key, order). Payload
+    bytes cross a shuffle only for WINNER rows (post-dedup), which at
+    CDC update ratios is a small fraction of the raw batch.
+
+    Exact re-deliveries (same key+lsn+commit as a stored row or a
+    duplicate event) tie in the semi join; the rows are state-identical
+    by construction, so ``dropDuplicates(key)`` resolves the tie without
+    affecting the final state.
+    """
+    slim = unioned.select(*key_cols, *order_cols)
+    winner = F.max(F.struct(*[F.col(c) for c in order_cols])).alias("_w")
+    winners = slim.groupBy(*key_cols).agg(winner).select(*key_cols, "_w.*")
+    w = winners.select(*[F.col(c).alias(f"_win_{c}") for c in key_cols + order_cols])
+    cond = None
+    for c in key_cols + order_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_win_{c}"))
+        cond = e if cond is None else cond & e
+    # broadcast is forced: a sort-merge semi join would shuffle the full
+    # payload rows on the join keys, defeating the whole point. Winner
+    # keys are slim; when an epoch's winner set outgrows broadcast (very
+    # large epochs), use resolve='maxby' instead.
+    fetched = unioned.join(F.broadcast(w), cond, "left_semi")
+    return fetched.dropDuplicates(key_cols)
+
+
 def _resolve_sorted_merge(
     unioned: DataFrame,
     key_cols: list[str],
@@ -246,6 +280,8 @@ def merge_batch(
     order_cols = [table.order_col] + (["commit"] if "commit" in all_cols else [])
     if resolve == "maxby":
         resolved = _resolve_maxby(unioned, key_cols, all_cols + ["op"], order_cols)
+    elif resolve == "two_phase":
+        resolved = _resolve_two_phase(unioned, key_cols, all_cols + ["op"], order_cols)
     elif resolve == "sorted_merge":
         resolved = _resolve_sorted_merge(unioned, key_cols, all_cols + ["op"], order_cols, num_salts)
     else:

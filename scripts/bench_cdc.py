@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--files-per-trigger", type=int, default=16)
     ap.add_argument("--content-repeat", type=int, default=30)
+    ap.add_argument("--master", default=None, help="override master (e.g. local-cluster[2,4,6144] for multi-executor)")
     args = ap.parse_args()
 
     from etlframwork_spark.events import EventLogSpec, generate_event_log
@@ -49,7 +50,14 @@ def main() -> None:
     if not os.path.isdir(cache) or not os.listdir(cache):
         generate_event_log(cache, spec)
 
-    spark = build_session(master=f"local[{args.cpus}]", app_name=f"cdc-bench-{args.cpus}")
+    master = args.master or f"local[{args.cpus}]"
+    extra = {}
+    if master.startswith("local-cluster"):
+        # executors are separate JVMs: give each a real heap
+        extra = {"spark.executor.memory": "6g"}
+        os.environ.setdefault("SPARK_HOME", "/opt/spark")
+    spark = build_session(master=master, app_name=f"cdc-bench-{args.cpus}",
+                          shuffle_partitions=4 * args.cpus, extra_conf=extra)
     work = tempfile.mkdtemp(prefix=f"cdc_scale_{args.cpus}_")
     try:
         # Warm the EXACT pipeline (JIT-compile the codegen'd merge stages +

@@ -43,7 +43,7 @@ def _assert_state_equal(spark, table, oracle_state):
             assert got["lang"] == expect["lang"], k
 
 
-@pytest.mark.parametrize("resolve", ["maxby", "sorted_merge"])
+@pytest.mark.parametrize("resolve", ["maxby", "two_phase", "sorted_merge"])
 def test_merge_single_batch_matches_oracle(spark, tmp_path, resolve):
     spec = EventLogSpec(seed=7, n_events=2000, n_repos=20, paths_per_repo=10, p_delete=0.1)
     pdf = _make_events_frame(spec)
@@ -56,7 +56,7 @@ def test_merge_single_batch_matches_oracle(spark, tmp_path, resolve):
     _assert_state_equal(spark, table, oracle_nolang)
 
 
-@pytest.mark.parametrize("resolve", ["maxby", "sorted_merge"])
+@pytest.mark.parametrize("resolve", ["maxby", "two_phase", "sorted_merge"])
 def test_merge_multi_batch_out_of_order(spark, tmp_path, resolve):
     """Events split across epochs in a NON-lsn order; a late lower-LSN
     update must never clobber the stored higher-LSN row (T4)."""
