@@ -41,13 +41,24 @@ HEADLINE = [
     "multimodal_feature_extract",
 ]
 
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
 
 
 def _time_query(fn, spark, sf_dir) -> float:
     t0 = time.monotonic()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.monotonic() - t0
+
+
+def _bench_tmp() -> str:
+    """tmpfs when available: benching the merge on one shared disk
+    measures the disk, not the engine (see scripts/bench_scaling.py)."""
+    shm = "/dev/shm/cdc-bench"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return tempfile.gettempdir()
 
 
 def _cdc_bench(spark, n_events: int) -> dict:
@@ -59,10 +70,11 @@ def _cdc_bench(spark, n_events: int) -> dict:
         paths_per_repo=40, hot_ratio=0.2, p_delete=0.05, n_files=8, content_repeat=2,
     )
     # cache the generated log across runs (generation is not what we measure)
-    cache = os.path.join(tempfile.gettempdir(), f"cdc_bench_log_{spec.seed}_{n_events}")
+    base = _bench_tmp()
+    cache = os.path.join(base, f"cdc_bench_log_{spec.seed}_{n_events}")
     if not os.path.isdir(cache) or not os.listdir(cache):
         generate_event_log(cache, spec)
-    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    work = tempfile.mkdtemp(prefix="cdc_bench_", dir=base)
     try:
         job = IngestJob(
             job_id="bench",
@@ -93,7 +105,11 @@ def main() -> None:
     from etlframwork_spark.operators import QUERIES
     from etlframwork_spark.session import build_session
 
-    spark = build_session(master=f"local[{cpus}]", app_name="etlframwork-bench")
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    spark = build_session(master=f"local[{cpus}]", app_name="etlframwork-bench", extra_conf=extra)
     try:
         # JVM/codegen warmup on a trivial action
         spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -51,6 +51,38 @@ def cdc_replay_final_state(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("cdc_incremental_changes")  # rows-only: snapshot-diff of our own table
+def cdc_incremental_changes(spark, sf_dir):
+    """Incremental change feed (Iceberg changelog-scan concept): replay a
+    log in two halves, then read the row-level delta between the two
+    snapshots via the manifest-pruned diff reader (changes.py). Oracle
+    equality for this reader is asserted in tests/test_changes.py."""
+    from ..changes import read_changes
+    from ..events import _make_events_frame
+    from ..events import CDC_BASE_SCHEMA, TARGET_BASE_SCHEMA
+    from ..merge import merge_batch
+    from ..table import SnapshotTable
+
+    spec = EventLogSpec(seed=29, n_events=3000, n_repos=25, paths_per_repo=10, p_delete=0.12)
+    pdf = _make_events_frame(spec).drop(columns=["lang"])
+    work = tempfile.mkdtemp(prefix="cdc_changes_")
+    try:
+        table = SnapshotTable.create(
+            os.path.join(work, "t"), TARGET_BASE_SCHEMA, key_cols=["repo", "path"], order_col="lsn", num_buckets=8
+        )
+        merge_batch(spark, table, spark.createDataFrame(pdf.iloc[:1500], schema=CDC_BASE_SCHEMA), epoch_id=0)
+        s1 = table.snapshot()["snapshot_id"]
+        merge_batch(spark, table, spark.createDataFrame(pdf.iloc[1500:], schema=CDC_BASE_SCHEMA), epoch_id=1)
+        s2 = table.snapshot()["snapshot_id"]
+        out = read_changes(spark, table, s1, s2).select(
+            "repo", "path", "lsn", "content_sha256", "_change_type"
+        ).orderBy("repo", "path")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "cdc_lineage_rollup",
     oracle=None,  # reads the engine's own metrics table -> rows-only

@@ -1,0 +1,55 @@
+"""Incremental change reader vs the sequential oracle: the delta between
+two snapshots must equal the oracle-state diff (insert/update/delete)."""
+
+from __future__ import annotations
+
+from etlframwork_spark.changes import changed_buckets, read_changes
+from etlframwork_spark.events import (
+    CDC_BASE_SCHEMA,
+    EventLogSpec,
+    TARGET_BASE_SCHEMA,
+    _make_events_frame,
+    apply_oracle,
+)
+from etlframwork_spark.merge import merge_batch
+from etlframwork_spark.table import SnapshotTable
+
+
+def _diff(state_a: dict, state_b: dict) -> dict:
+    out = {}
+    for k in state_b:
+        if k not in state_a:
+            out[k] = "insert"
+        elif state_b[k]["lsn"] != state_a[k]["lsn"]:
+            out[k] = "update"
+    for k in state_a:
+        if k not in state_b:
+            out[k] = "delete"
+    return out
+
+
+def test_read_changes_matches_oracle_diff(spark, tmp_path):
+    spec = EventLogSpec(seed=31, n_events=3000, n_repos=20, paths_per_repo=10, p_delete=0.15)
+    pdf = _make_events_frame(spec).drop(columns=["lang"])
+    table = SnapshotTable.create(
+        str(tmp_path / "t"), TARGET_BASE_SCHEMA, key_cols=["repo", "path"], order_col="lsn", num_buckets=8
+    )
+    cut = 1500
+    merge_batch(spark, table, spark.createDataFrame(pdf.iloc[:cut], schema=CDC_BASE_SCHEMA), epoch_id=0)
+    s1 = table.snapshot()["snapshot_id"]
+    merge_batch(spark, table, spark.createDataFrame(pdf.iloc[cut:], schema=CDC_BASE_SCHEMA), epoch_id=1)
+    s2 = table.snapshot()["snapshot_id"]
+
+    oracle_a = apply_oracle(pdf.iloc[:cut].assign(lang=None))
+    oracle_b = apply_oracle(pdf.assign(lang=None))
+    want = _diff(oracle_a, oracle_b)
+
+    got_df = read_changes(spark, table, s1, s2)
+    got = {(r["repo"], r["path"]): r["_change_type"] for r in got_df.collect()}
+    assert got == want
+    # updates/inserts carry the NEW row payload
+    for r in got_df.filter("_change_type != 'delete'").collect():
+        assert r["lsn"] == oracle_b[(r["repo"], r["path"])]["lsn"]
+    # no-change between identical snapshots
+    assert read_changes(spark, table, s2, s2).count() == 0
+    assert changed_buckets(table, s2, s2) == []
