@@ -61,7 +61,7 @@ def _bench_tmp() -> str:
         return tempfile.gettempdir()
 
 
-def _cdc_bench(spark, n_events: int) -> dict:
+def _cdc_bench(spark, n_events: int, write_mode: str = "cow") -> dict:
     from etlframwork_spark.events import EventLogSpec, generate_event_log
     from etlframwork_spark.streaming import IngestJob, run_ingest
 
@@ -77,13 +77,15 @@ def _cdc_bench(spark, n_events: int) -> dict:
     work = tempfile.mkdtemp(prefix="cdc_bench_", dir=base)
     try:
         job = IngestJob(
-            job_id="bench",
+            job_id=f"bench-{write_mode}",
             events_dir=cache,
             table_root=os.path.join(work, "table"),
             checkpoint_dir=os.path.join(work, "ckpt"),
             metrics_dir=os.path.join(work, "metrics"),
             num_buckets=32,
             max_files_per_trigger=4,
+            write_mode=write_mode,
+            compact_min_deltas=4 if write_mode == "mor" else None,
         )
         t0 = time.monotonic()
         table = run_ingest(spark, job)
@@ -116,8 +118,9 @@ def main() -> None:
         timings: dict[str, float] = {}
         for name in HEADLINE:
             timings[name] = round(_time_query(QUERIES[name], spark, sf_dir), 3)
-        cdc = _cdc_bench(spark, CDC_EVENTS)
-        total = round(sum(timings.values()) + cdc["cdc_seconds"], 3)
+        cdc = _cdc_bench(spark, CDC_EVENTS, "cow")
+        mor = _cdc_bench(spark, CDC_EVENTS, "mor")
+        total = round(sum(timings.values()) + cdc["cdc_seconds"] + mor["cdc_seconds"], 3)
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
@@ -125,9 +128,10 @@ def main() -> None:
                     "metric": "headline suite wall time (generic ops + CDC replay)",
                     "value": total,
                     "unit": "sec",
-                    "queries": {**timings, "cdc_replay": cdc["cdc_seconds"]},
+                    "queries": {**timings, "cdc_replay": cdc["cdc_seconds"], "cdc_replay_mor": mor["cdc_seconds"]},
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     **cdc,
+                    "cdc_mor_events_per_sec": mor["cdc_events_per_sec"],
                     "cpus": int(cpus),
                 }
             )

@@ -22,12 +22,13 @@ from .table import TOMBSTONE_COL, SnapshotTable
 
 
 def changed_buckets(table: SnapshotTable, from_snapshot: int, to_snapshot: int) -> list[int]:
-    old = table.snapshot(from_snapshot)["files"]
-    new = table.snapshot(to_snapshot)["files"]
     out = set()
-    for b in set(old) | set(new):
-        if old.get(b) != new.get(b):
-            out.add(int(b))
+    for key in ("files", "delta_files"):  # merge-on-read deltas count too
+        old = table.snapshot(from_snapshot).get(key, {})
+        new = table.snapshot(to_snapshot).get(key, {})
+        for b in set(old) | set(new):
+            if old.get(b) != new.get(b):
+                out.add(int(b))
     return sorted(out)
 
 

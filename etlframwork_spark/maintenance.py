@@ -65,6 +65,46 @@ def purge_tombstones(
     return {"buckets_rewritten": len(buckets), "tombstones_purged": n_purged}
 
 
+def compact_buckets(
+    spark: SparkSession, table: SnapshotTable, min_deltas: int = 1
+) -> dict:
+    """Fold merge-on-read delta files back into bucket base files.
+
+    Buckets carrying >= ``min_deltas`` delta files are read with the
+    table's LWW resolve (tombstones retained — purge is a separate,
+    watermark-gated op) and rewritten as a single base file each; the
+    replace commit clears their delta lists. Read amplification returns
+    to one file per bucket; state is unchanged byte-for-byte (LWW
+    associativity), asserted in tests/test_mor.py.
+    """
+    table.refresh()
+    counts = table.delta_file_counts()
+    buckets = sorted(b for b, n in counts.items() if n >= min_deltas)
+    if not buckets:
+        return {"buckets_compacted": 0, "delta_files_folded": 0}
+    folded = sum(counts[b] for b in buckets)
+    keep = table.read(spark, buckets=buckets, include_tombstones=True).withColumn(
+        BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+    )
+    data_dir = table.new_data_dir()
+    (
+        keep.repartition(max(len(buckets), 1), F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .option("compression", "zstd")
+        .parquet(data_dir)
+    )
+    from .merge import _list_written_files
+
+    files_by_bucket = _list_written_files(data_dir)
+    table.commit(
+        files_by_bucket,
+        buckets,
+        summary={"operation": "compact", "buckets": len(buckets), "delta_files_folded": folded},
+        mode="replace",
+    )
+    return {"buckets_compacted": len(buckets), "delta_files_folded": folded}
+
+
 def full_maintenance(
     spark: SparkSession, table: SnapshotTable, watermark_lsn: int, keep_snapshots: int = 5
 ) -> dict:

@@ -197,13 +197,24 @@ def merge_batch(
     resolve: str = "maxby",
     num_salts: int = 16,
     quarantine_dir: str | None = None,
+    write_mode: str = "cow",
     fault_injector: Callable[[str], None] | None = None,
 ) -> dict[str, Any]:
     """Apply one micro-batch of CDC events to the table, exactly once.
 
+    ``write_mode``:
+      * ``cow`` (copy-on-write): rewrite affected buckets with the merged
+        state — reads stay cheap, writes pay the rewrite.
+      * ``mor`` (merge-on-read): append the batch's per-key winners as
+        bucket DELTA files — no stored-table read, no rewrite; reads
+        resolve LWW across base+deltas until compaction folds them
+        (maintenance.compact_buckets). The at-scale ingest fast path.
+
     Returns a summary dict; ``{"skipped": True}`` when the epoch fence was
     already committed (idempotent re-delivery, BJ:6).
     """
+    if write_mode not in ("cow", "mor"):
+        raise ValueError(f"unknown write_mode {write_mode!r}")
     t0 = time.monotonic()
     fence = f"{job_id}:{epoch_id}"
     hook = fault_injector or (lambda stage: None)
@@ -266,14 +277,20 @@ def merge_batch(
         summary["timings"] = timings
         return summary
 
-    # -- 4. LWW resolve over (batch ∪ affected stored rows) ------------------
-    # stored side INCLUDES tombstones: a winning delete stays in the table
-    # as a tombstone row so a duplicate/late lower-LSN insert re-delivery
-    # can never resurrect the key.
+    # -- 4. LWW resolve ------------------------------------------------------
+    # cow: resolve over (batch ∪ affected stored rows); the stored side
+    # INCLUDES tombstones so a duplicate/late lower-LSN insert re-delivery
+    # can never resurrect a deleted key.
+    # mor: resolve over the batch ALONE — conflicts against stored rows
+    # (including tombstones) are resolved at READ time by the table's
+    # merge-on-read LWW (table.read), which is the same associative max.
     ev_aligned = _align(ev, schema, ["op"]).select(*all_cols, "op")
-    stored = table.read(spark, buckets=affected, schema=schema, include_tombstones=True)
-    stored_aligned = stored.select(*all_cols).withColumn("op", F.lit(_STORED))
-    unioned = ev_aligned.unionByName(stored_aligned)
+    if write_mode == "mor":
+        unioned = ev_aligned
+    else:
+        stored = table.read(spark, buckets=affected, schema=schema, include_tombstones=True)
+        stored_aligned = stored.select(*all_cols).withColumn("op", F.lit(_STORED))
+        unioned = ev_aligned.unionByName(stored_aligned)
 
     # deterministic total order: (lsn, commit) — commit is unique per event;
     # tables without a commit column fall back to lsn alone (SURVEY §7.4.3)
@@ -334,7 +351,8 @@ def merge_batch(
         affected,
         fence=fence,
         new_schema=schema if new_cols else None,
-        summary={**summary, "operation": "merge", "timings": timings},
+        summary={**summary, "operation": f"merge_{write_mode}", "timings": timings},
+        mode="append_delta" if write_mode == "mor" else "replace",
     )
     if snap is None:  # fence raced us — our files are orphans, vacuum later
         summary["skipped"] = True

@@ -98,7 +98,9 @@ class IngestJob:
     order_col: str = "lsn"
     num_buckets: int = 16
     max_files_per_trigger: int = 8
-    resolve: str = "maxby"  # or "sorted_merge" (north-rule-literal path)
+    resolve: str = "maxby"  # or "two_phase" / "sorted_merge" (north-rule-literal)
+    write_mode: str = "cow"  # or "mor" (delta-append merge-on-read fast path)
+    compact_min_deltas: int | None = None  # mor: fold deltas when a bucket reaches this many
     num_salts: int = 16
     available_now: bool = True  # drain-and-stop; else continuous
     processing_interval: str = "5 seconds"
@@ -149,8 +151,13 @@ def run_ingest(
             resolve=job.resolve,
             num_salts=job.num_salts,
             quarantine_dir=job.quarantine_dir,
+            write_mode=job.write_mode,
             fault_injector=fault_injector,
         )
+        if job.write_mode == "mor" and job.compact_min_deltas:
+            from ..maintenance import compact_buckets
+
+            compact_buckets(batch_df.sparkSession, table, min_deltas=job.compact_min_deltas)
 
     stream = (
         spark.readStream.schema(event_schema)

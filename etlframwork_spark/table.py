@@ -204,17 +204,34 @@ class SnapshotTable:
         raise KeyError(f"snapshot {sid} not found")
 
     def files_for(
-        self, buckets: Iterable[int] | None = None, snapshot_id: int | None = None
+        self,
+        buckets: Iterable[int] | None = None,
+        snapshot_id: int | None = None,
+        kind: str = "all",
     ) -> list[str]:
         """Absolute data-file paths for a snapshot, optionally pruned to the
-        given buckets (manifest-level partition pruning)."""
+        given buckets (manifest-level partition pruning). ``kind``:
+        'all' (base+delta), 'base', or 'delta' (merge-on-read deltas)."""
         snap = self.snapshot(snapshot_id)
         wanted = None if buckets is None else {str(int(b)) for b in buckets}
         out: list[str] = []
-        for b, files in snap["files"].items():
-            if wanted is None or b in wanted:
-                out.extend(os.path.join(self.root, f) for f in files)
+        if kind in ("all", "base"):
+            for b, files in snap["files"].items():
+                if wanted is None or b in wanted:
+                    out.extend(os.path.join(self.root, f) for f in files)
+        if kind in ("all", "delta"):
+            for b, files in snap.get("delta_files", {}).items():
+                if wanted is None or b in wanted:
+                    out.extend(os.path.join(self.root, f) for f in files)
         return out
+
+    def has_deltas(self, buckets: Iterable[int] | None = None, snapshot_id: int | None = None) -> bool:
+        return bool(self.files_for(buckets=buckets, snapshot_id=snapshot_id, kind="delta"))
+
+    def delta_file_counts(self, snapshot_id: int | None = None) -> dict[int, int]:
+        """Per-bucket delta-file counts (compaction scheduling input)."""
+        snap = self.snapshot(snapshot_id)
+        return {int(b): len(fs) for b, fs in snap.get("delta_files", {}).items() if fs}
 
     def read(
         self,
@@ -242,6 +259,18 @@ class SnapshotTable:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*files)
+        # merge-on-read: delta files may carry newer versions of keys in the
+        # base (and each other) — resolve last-writer-wins at read time.
+        # LWW is the same associative max the writer uses, so read(resolve)
+        # after N delta commits equals a copy-on-write state byte-for-byte.
+        if self.has_deltas(buckets=buckets, snapshot_id=snapshot_id):
+            cols = schema.fieldNames()
+            order_cols = [self.order_col] + (["commit"] if "commit" in cols else [])
+            winner = F.max_by(
+                F.struct(*[F.col(c) for c in cols]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("_w")
+            df = df.groupBy(*[F.col(k) for k in self.key_cols]).agg(winner).select("_w.*")
         if not include_tombstones and TOMBSTONE_COL in schema.fieldNames():
             df = df.filter(
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
@@ -265,17 +294,24 @@ class SnapshotTable:
         fence: str | None = None,
         new_schema: StructType | None = None,
         summary: dict[str, Any] | None = None,
+        mode: str = "replace",
     ) -> dict[str, Any] | None:
         """Atomically commit a new snapshot.
 
-        ``changed_files_by_bucket``: bucket -> list of paths (absolute or
-        root-relative) that REPLACE that bucket's file set. Every bucket in
-        ``changed_buckets`` is replaced (possibly by an empty list — bucket
-        became empty); all other buckets carry forward by reference.
+        ``mode='replace'`` (copy-on-write / compaction): every bucket in
+        ``changed_buckets`` gets its BASE file set replaced by
+        ``changed_files_by_bucket`` (possibly empty — bucket emptied) and
+        its delta list cleared; other buckets carry forward by reference.
+
+        ``mode='append_delta'`` (merge-on-read): the given files are
+        APPENDED to each bucket's delta list; base files untouched.
+        Readers resolve last-writer-wins across base+deltas.
 
         Returns the new snapshot dict, or ``None`` when ``fence`` was
         already committed (idempotent re-delivery short-circuit).
         """
+        if mode not in ("replace", "append_delta"):
+            raise ValueError(f"unknown commit mode {mode!r}")
         self.refresh()
         if fence is not None and self.is_fence_committed(fence):
             return None
@@ -292,16 +328,22 @@ class SnapshotTable:
 
         parent = self.snapshot()
         files = {b: list(fs) for b, fs in parent["files"].items()}
+        deltas = {b: list(fs) for b, fs in parent.get("delta_files", {}).items()}
         for b in changed_buckets:
             bs = str(int(b))
             rels = [
                 os.path.relpath(p, self.root) if os.path.isabs(p) else p
                 for p in changed_files_by_bucket.get(int(b), [])
             ]
-            if rels:
-                files[bs] = rels
+            if mode == "append_delta":
+                if rels:
+                    deltas.setdefault(bs, []).extend(rels)
             else:
-                files.pop(bs, None)
+                if rels:
+                    files[bs] = rels
+                else:
+                    files.pop(bs, None)
+                deltas.pop(bs, None)  # replace folds deltas into the new base
 
         new_id = max(s["snapshot_id"] for s in self.meta["snapshots"]) + 1
         snap = {
@@ -309,6 +351,7 @@ class SnapshotTable:
             "parent_id": parent["snapshot_id"],
             "schema_id": schema_id,
             "files": files,
+            "delta_files": {b: fs for b, fs in deltas.items() if fs},
             "summary": summary or {},
             "fence": fence,
         }
@@ -341,6 +384,8 @@ class SnapshotTable:
         live: set[str] = set()
         for s in self.meta["snapshots"]:
             for fs in s["files"].values():
+                live.update(fs)
+            for fs in s.get("delta_files", {}).values():
                 live.update(fs)
         removed = 0
         data_root = os.path.join(self.root, "data")

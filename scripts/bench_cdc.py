@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--files-per-trigger", type=int, default=16)
     ap.add_argument("--content-repeat", type=int, default=30)
     ap.add_argument("--master", default=None, help="override master (e.g. local-cluster[2,4,6144] for multi-executor)")
+    ap.add_argument("--write-mode", default="cow", choices=["cow", "mor"])
+    ap.add_argument("--compact-min-deltas", type=int, default=None)
     args = ap.parse_args()
 
     from etlframwork_spark.events import EventLogSpec, generate_event_log
@@ -78,6 +80,7 @@ def main() -> None:
                 num_buckets=args.num_buckets,
                 max_files_per_trigger=args.cpus // 2,
                 resolve=args.resolve,
+                write_mode=args.write_mode,
             ),
         )
         job = IngestJob(
@@ -89,6 +92,8 @@ def main() -> None:
             num_buckets=args.num_buckets,
             max_files_per_trigger=args.files_per_trigger,
             resolve=args.resolve,
+            write_mode=args.write_mode,
+            compact_min_deltas=args.compact_min_deltas,
         )
         t0 = time.monotonic()
         table = run_ingest(spark, job)
@@ -121,6 +126,7 @@ def main() -> None:
                     "steady_epochs": len(steady),
                     "epoch_seconds": [round(s, 2) for _i, _e, s in eps],
                     "resolve": args.resolve,
+                    "write_mode": args.write_mode,
                     "final_rows": chk["rows"],
                     "state_digest": int(chk["digest"]),
                 }
