@@ -40,7 +40,7 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pin: bool) -> dict:
+def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pin: bool, wmode: str) -> dict:
     env = dict(os.environ)
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     os.makedirs("/dev/shm/cdc-bench", exist_ok=True)
@@ -54,6 +54,7 @@ def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pi
         "--resolve", resolve,
         "--files", str(files),
         "--files-per-trigger", str(trigger),
+        "--write-mode", wmode,
     ]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -80,11 +81,12 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=128)
     ap.add_argument("--trigger", type=int, default=32)
     ap.add_argument("--no-pin", action="store_true")
+    ap.add_argument("--write-mode", default="mor", help="mor: size-independent epochs -> cleaner matched ratios")
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
     pin = not args.no_pin
-    runs = {c: run_level(c, args.events, args.resolve, args.files, args.trigger, pin) for c in levels}
+    runs = {c: run_level(c, args.events, args.resolve, args.files, args.trigger, pin, args.write_mode) for c in levels}
     digests = {r["state_digest"] for r in runs.values()}
     assert len(digests) == 1, "final states differ across parallelism!"
 
@@ -96,6 +98,7 @@ def main() -> None:
     out = {
         "events": args.events,
         "resolve": args.resolve,
+        "write_mode": args.write_mode,
         "levels": {
             str(c): {
                 "steady_events_per_sec": r["steady_events_per_sec"],
