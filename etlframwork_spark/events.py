@@ -220,7 +220,14 @@ def generate_event_log(out_dir: str, spec: EventLogSpec) -> EventLog:
         k = int(n * spec.duplicate_ratio)
         picks = np.sort(rng.choice(n, size=k, replace=False))
         dup = _strings_for_slice({c: v[picks] for c, v in meta.items()}, 0, k, spec.content_repeat)
-        with_lang = evolve_row is not None and evolve_row <= 0
+        # a re-delivery carries the SAME payload the original delivery was
+        # read with: pre-evolution originals surface lang=null (column
+        # absent), so their duplicates must too — otherwise a duplicate
+        # would be a non-identical row tied on (lsn, commit), making the
+        # LWW winner between original and duplicate ambiguous.
+        with_lang = evolve_row is not None
+        if with_lang:
+            dup.loc[picks < evolve_row, "lang"] = pd.NA
         p = os.path.join(out_dir, f"events-{spec.n_files:05d}-dup.parquet")
         _write_segment(dup.drop(columns=[] if with_lang else ["lang"]), p, with_lang)
         log.files.append(p)
