@@ -68,14 +68,14 @@ def docs_exact_dedup(spark, sf_dir):
            CAST(COUNT(*) AS DOUBLE) / (a.nw + b.nw - COUNT(*)) AS jaccard
     FROM e a JOIN e b
       ON a.word = b.word AND a.source = b.source
-     AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 4
+     AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 40
     GROUP BY a.doc_id, b.doc_id, a.nw, b.nw
     HAVING CAST(COUNT(*) AS DOUBLE) / (a.nw + b.nw - COUNT(*)) >= 0.2
     """,
 )
 def docs_ngram_jaccard(spark, sf_dir):
     """Word-set Jaccard similarity over a bounded candidate window (same
-    source, id distance <= 4) — the exact-verify kernel that LSH methods
+    source, id distance <= 40) — the exact-verify kernel that LSH methods
     narrow to. Explode + equi-join + count; int/int jaccard is IEEE-stable."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -90,7 +90,7 @@ def docs_ngram_jaccard(spark, sf_dir):
             (F.col("a.word") == F.col("b.word"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 4),
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 40),
         )
         .groupBy(
             F.col("a.doc_id").alias("id_a"),

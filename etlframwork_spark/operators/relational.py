@@ -207,13 +207,17 @@ def semi_join_active_customers(spark, sf_dir):
     oracle="""
     SELECT c_custkey AS custkey, c_mktsegment AS segment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def anti_join_idle_customers(spark, sf_dir):
-    """Left-anti join: customers with no orders (MERGE's insert-on-miss leg)."""
+    """Left-anti join: customers with no URGENT order (MERGE's
+    insert-on-miss leg; predicate keeps the result non-trivial at every
+    driver scale factor)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
     )
