@@ -610,3 +610,86 @@ def math_funcs_lineitem(spark, sf_dir):
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod"),
         F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
     )
+
+
+# ------------------------------------------------------------------------- A4
+@query(
+    "cube_part_stats",
+    oracle="""
+    SELECT COALESCE(p_brand, '<all>') AS brand,
+           COALESCE(CAST(p_size // 10 AS VARCHAR), '<all>') AS size_decile,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+    FROM part
+    GROUP BY CUBE (p_brand, p_size // 10)
+    """,
+)
+def cube_part_stats(spark, sf_dir):
+    """CUBE: all grouping combinations in one pass (A4 full lattice)."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "size_decile_i", F.floor(F.col("p_size") / 10)
+    )
+    return (
+        p.cube("p_brand", "size_decile_i")
+        .agg(F.count(F.lit(1)).alias("n_parts"), _dsum(F.col("p_retailprice"), "total_price"))
+        .select(
+            F.coalesce(F.col("p_brand"), F.lit("<all>")).alias("brand"),
+            F.coalesce(F.col("size_decile_i").cast("string"), F.lit("<all>")).alias("size_decile"),
+            "n_parts",
+            "total_price",
+        )
+    )
+
+
+# ----------------------------------------------------------------- A4 via SQL
+@query(
+    "grouping_sets_supplier",
+    oracle="""
+    SELECT COALESCE(CAST(s_nationkey AS VARCHAR), '<all>') AS nation,
+           COALESCE(SUBSTRING(s_name, 1, 8), '<all>') AS name_prefix,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal
+    FROM supplier
+    GROUP BY GROUPING SETS ((s_nationkey), (SUBSTRING(s_name, 1, 8)), ())
+    """,
+)
+def grouping_sets_supplier(spark, sf_dir):
+    """Explicit GROUPING SETS through the SQL front-end (the engine's
+    spark.sql surface; SURVEY §2.4 A4)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(CAST(s_nationkey AS STRING), '<all>') AS nation,
+               COALESCE(SUBSTRING(s_name, 1, 8), '<all>') AS name_prefix,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal
+        FROM supplier_gs
+        GROUP BY GROUPING SETS ((s_nationkey), (SUBSTRING(s_name, 1, 8)), ())
+        """
+    )
+
+
+# ------------------------------------------------------------------------- F6
+@query(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0) AS BIGINT) AS first_q,
+           list_sum(list_transform(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))) AS l1_q,
+           label
+    FROM embeddings
+    """,
+)
+def array_ops_embeddings(spark, sf_dir):
+    """Array functions over the embedding column (F6): size, element_at,
+    transform+aggregate — integer-quantized so reductions are exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = "transform(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))"
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000, 0) AS BIGINT)").alias("first_q"),
+        F.expr(f"aggregate({q}, 0L, (acc, v) -> acc + v)").alias("l1_q"),
+        "label",
+    )

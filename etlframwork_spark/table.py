@@ -375,6 +375,14 @@ class SnapshotTable:
         dropped = len(snaps) - len(kept)
         self.meta["snapshots"] = kept
         self._write_version(self.version + 1)
+        # metadata-log hygiene: a long-running stream commits one
+        # v{N}.json per epoch; prune superseded versions (the current
+        # file is the whole state — older ones exist only for debugging)
+        mdir = os.path.join(self.root, "metadata")
+        for entry in os.listdir(mdir):
+            m = _VERSION_RE.match(entry)
+            if m and int(m.group(1)) < self.version - keep_last:
+                os.remove(os.path.join(mdir, entry))
         return dropped
 
     def vacuum(self) -> int:
