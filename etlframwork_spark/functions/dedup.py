@@ -95,8 +95,8 @@ def docs_ngram_jaccard(spark, sf_dir):
         .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.nw").alias("nw_a"),
-            F.col("b.nw").alias("nw_b"),
+            F.col("a.nw").cast("long").alias("nw_a"),
+            F.col("b.nw").cast("long").alias("nw_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

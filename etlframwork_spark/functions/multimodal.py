@@ -55,7 +55,7 @@ def as_blob_table(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.struct(
             kind.alias("kind"),
-            F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+            F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
             F.col("source").alias("origin"),
         ).alias("meta"),
     )

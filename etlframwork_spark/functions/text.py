@@ -46,9 +46,9 @@ def _duck_hits(lang: str) -> str:
         FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM t GROUP BY lang
     """,
 )
@@ -63,8 +63,8 @@ def docs_token_stats(spark, sf_dir):
     return t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.min("n_tokens").alias("min_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
 
@@ -103,8 +103,8 @@ def docs_quality_score(spark, sf_dir):
     n_tokens = F.size("_tokens")
     return t.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
         (F.col("n_chars").cast("double") / n_tokens).alias("chars_per_token"),
         (F.expr(_hits("en")).cast("double") / n_tokens).alias("stopword_ratio"),
         (F.expr("size(filter(_tokens, t -> length(t) > 2))").cast("double") / n_tokens).alias(
@@ -154,10 +154,10 @@ def docs_language_id(spark, sf_dir):
     s = t.select(
         "doc_id",
         "labeled_lang",
-        F.expr(_hits("en")).alias("h_en"),
-        F.expr(_hits("de")).alias("h_de"),
-        F.expr(_hits("fr")).alias("h_fr"),
-        F.expr(_hits("es")).alias("h_es"),
+        F.expr(_hits("en")).cast("long").alias("h_en"),
+        F.expr(_hits("de")).cast("long").alias("h_de"),
+        F.expr(_hits("fr")).cast("long").alias("h_fr"),
+        F.expr(_hits("es")).cast("long").alias("h_es"),
     )
     detected = (
         F.when((F.col("h_en") >= F.col("h_de")) & (F.col("h_en") >= F.col("h_fr")) & (F.col("h_en") >= F.col("h_es")) & (F.col("h_en") > 0), "en")
@@ -184,4 +184,4 @@ def docs_fingerprint(spark, sf_dir):
     md5 — the exact-dedup key at corpus scale."""
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    return d.select("doc_id", F.md5(norm).alias("fp"), F.length(norm).alias("norm_len"))
+    return d.select("doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len"))

@@ -180,7 +180,10 @@ def _resolve_sorted_merge(
     out_schema = StructType([pre.schema[c] for c in all_cols])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="stable")
+        # na_position='first' matches Spark struct ordering (nulls sort
+        # FIRST ascending), so all three resolve strategies agree on the
+        # winner even if an order column is ever null on one side.
+        pdf = pdf.sort_values(order_cols, kind="stable", na_position="first")
         return pdf.iloc[[-1]]
 
     return pre.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
@@ -316,8 +319,12 @@ def merge_batch(
         .when(F.col("op") == _STORED, F.col(SHA_COL))
         .otherwise(F.sha2(F.col("content"), 256) if "content" in all_cols else F.lit(None).cast("string")),
     )
+    # Tombstones must retain their FULL ordering key (lsn AND the commit
+    # tiebreak): nulling 'commit' would let a future distinct event with the
+    # same lsn and any non-null commit beat the tombstone and resurrect the
+    # key, contradicting the (lsn, commit) total order.
     payload_cols = [
-        c for c in all_cols if c not in (*key_cols, table.order_col, TOMBSTONE_COL, SHA_COL)
+        c for c in all_cols if c not in (*key_cols, *order_cols, TOMBSTONE_COL, SHA_COL)
     ]
     for c in payload_cols:
         f = schema[c]

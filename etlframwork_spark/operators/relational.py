@@ -332,7 +332,7 @@ def rollup_order_metrics(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             _dsum(F.col("o_totalprice"), "total"),
-            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("grp"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("long").alias("grp"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
@@ -366,9 +366,9 @@ def window_rank_orders(spark, sf_dir):
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_totalprice").alias("totalprice"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -489,7 +489,7 @@ def string_funcs_parts(spark, sf_dir):
     return p.select(
         F.col("p_partkey").alias("partkey"),
         F.upper("p_brand").alias("brand_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_type", 1, 7).alias("type_prefix"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
         F.regexp_extract(F.col("p_name"), r"([a-z]+)$", 1).alias("last_word"),
@@ -522,7 +522,7 @@ def date_trunc_monthly_revenue(spark, sf_dir):
     "json_extract_events",
     oracle="""
     SELECT event_type,
-           SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            COUNT(json_extract_string(props, '$.k')) AS n_with_k
     FROM events GROUP BY event_type
     """,
@@ -676,7 +676,7 @@ def grouping_sets_supplier(spark, sf_dir):
     SELECT vec_id,
            len(embedding) AS dim,
            CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0) AS BIGINT) AS first_q,
-           list_sum(list_transform(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))) AS l1_q,
+           CAST(list_sum(list_transform(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))) AS BIGINT) AS l1_q,
            label
     FROM embeddings
     """,
@@ -688,7 +688,7 @@ def array_ops_embeddings(spark, sf_dir):
     q = "transform(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))"
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000, 0) AS BIGINT)").alias("first_q"),
         F.expr(f"aggregate({q}, 0L, (acc, v) -> acc + v)").alias("l1_q"),
         "label",

@@ -44,22 +44,39 @@ from pyspark.sql.types import StringType
 
 
 def discover_event_schema(events_dir: str) -> StructType:
-    """Additive union of all segment footers (driver-side, O(#files))."""
+    """Additive union of all segment footers (driver-side, O(#files)).
+
+    Upstream drift is caught LOUDLY: if two segments disagree on a
+    column's type (beyond timezone normalization), this raises instead of
+    silently reading the later segment with the first-seen type — an
+    explicit-schema read of a type-changed column would surface as nulls
+    or read errors deep inside an epoch otherwise."""
     files = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))
     if not files:
         raise FileNotFoundError(f"no event segments under {events_dir}")
     fields: dict[str, StructField] = {}
+    seen_arrow: dict[str, tuple[object, str]] = {}  # name -> (normalized arrow type, first file)
     order: list[str] = []
     for f in files:
         sch = pq.ParquetFile(os.path.join(events_dir, f)).schema_arrow
         for af in sch:
+            atype = (
+                af.type.remove_timezone()
+                if patypes.is_timestamp(af.type) and af.type.tz
+                else af.type
+            )
             if af.name not in fields:
-                if patypes.is_timestamp(af.type):
-                    spark_t = from_arrow_type(af.type.remove_timezone() if af.type.tz else af.type)
-                else:
-                    spark_t = from_arrow_type(af.type)
-                fields[af.name] = StructField(af.name, spark_t, True)
+                fields[af.name] = StructField(af.name, from_arrow_type(atype), True)
+                seen_arrow[af.name] = (atype, f)
                 order.append(af.name)
+            elif seen_arrow[af.name][0] != atype:
+                first_t, first_f = seen_arrow[af.name]
+                raise TypeError(
+                    f"event schema drift on column {af.name!r}: segment "
+                    f"{first_f} has {first_t}, segment {f} has {atype} — "
+                    "upstream type changes are not additive evolution; "
+                    "fix the producer or route the segment to quarantine"
+                )
     return StructType([fields[n] for n in order])
 
 

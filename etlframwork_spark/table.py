@@ -61,6 +61,17 @@ class FenceAlreadyCommitted(Exception):
     """Raised (optionally) when a fenced commit was already applied."""
 
 
+class VersionConflict(Exception):
+    """Another writer published this metadata version first (CAS miss).
+
+    Raised by ``_write_version``; ``commit()``/``expire_snapshots()`` catch
+    it, refresh to the winner's state, and re-apply their mutation —
+    optimistic concurrency exactly like Iceberg's metadata CAS."""
+
+
+_MAX_COMMIT_RETRIES = 16
+
+
 class SnapshotTable:
     """A bucketed, snapshot-versioned parquet table with atomic commits."""
 
@@ -143,6 +154,14 @@ class SnapshotTable:
         return max(versions) if versions else None
 
     def _write_version(self, new_version: int) -> None:
+        """Exclusively publish ``self.meta`` as ``v{new_version}.json``.
+
+        Compare-and-swap, not blind rename: ``os.link(tmp, final)`` fails
+        with EEXIST if any other writer (e.g. a compaction running beside
+        the ingest stream) already published this version — a plain
+        ``os.rename`` would silently overwrite their committed metadata and
+        lose a commit that was reported successful. On conflict raises
+        :class:`VersionConflict` for the caller to refresh-and-retry."""
         mdir = os.path.join(self.root, "metadata")
         final = os.path.join(mdir, f"v{new_version}.json")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -150,7 +169,12 @@ class SnapshotTable:
             json.dump(self.meta, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)  # THE commit point
+        try:
+            os.link(tmp, final)  # THE commit point — atomic and exclusive
+        except FileExistsError:
+            raise VersionConflict(f"metadata v{new_version} already published")
+        finally:
+            os.remove(tmp)
         self.version = new_version
         # best-effort fast-path hint (load() never trusts it blindly)
         hint_tmp = os.path.join(mdir, f".hint-{uuid.uuid4().hex}")
@@ -225,6 +249,22 @@ class SnapshotTable:
                     out.extend(os.path.join(self.root, f) for f in files)
         return out
 
+    def _split_buckets_for_read(
+        self, buckets: Iterable[int] | None, snapshot_id: int | None
+    ) -> tuple[set[int], set[int]]:
+        """Partition the requested buckets into (clean, dirty): dirty ones
+        carry merge-on-read delta files and need a read-time LWW resolve;
+        clean ones can be scanned raw with no shuffle."""
+        snap = self.snapshot(snapshot_id)
+        present = {int(b) for b in snap["files"]} | {
+            int(b) for b, fs in snap.get("delta_files", {}).items() if fs
+        }
+        requested = present if buckets is None else (present & {int(b) for b in buckets})
+        dirty = {
+            int(b) for b, fs in snap.get("delta_files", {}).items() if fs and int(b) in requested
+        }
+        return requested - dirty, dirty
+
     def has_deltas(self, buckets: Iterable[int] | None = None, snapshot_id: int | None = None) -> bool:
         return bool(self.files_for(buckets=buckets, snapshot_id=snapshot_id, kind="delta"))
 
@@ -254,23 +294,39 @@ class SnapshotTable:
         if schema is None:
             sid = self.meta["current_schema_id"] if schema_id is None else schema_id
             schema = self.schema(sid)
-        files = self.files_for(buckets=buckets, snapshot_id=snapshot_id)
-        if not files:
-            df = spark.createDataFrame([], schema)
-        else:
-            df = spark.read.schema(schema).parquet(*files)
         # merge-on-read: delta files may carry newer versions of keys in the
         # base (and each other) — resolve last-writer-wins at read time.
         # LWW is the same associative max the writer uses, so read(resolve)
         # after N delta commits equals a copy-on-write state byte-for-byte.
-        if self.has_deltas(buckets=buckets, snapshot_id=snapshot_id):
+        #
+        # BUCKET-LOCAL resolve: only buckets that actually carry deltas pay
+        # the group-by shuffle; clean buckets stream straight into the
+        # union, exchange-free. Mid-ingest a table with deltas on k of B
+        # buckets shuffles k/B of the data instead of all of it — at 100 TB
+        # this is the difference between a read working and not.
+        clean_b, dirty_b = self._split_buckets_for_read(buckets, snapshot_id)
+        clean_files = self.files_for(buckets=clean_b, snapshot_id=snapshot_id) if clean_b else []
+        dirty_files = self.files_for(buckets=dirty_b, snapshot_id=snapshot_id) if dirty_b else []
+        parts = []
+        if clean_files:
+            parts.append(spark.read.schema(schema).parquet(*clean_files))
+        if dirty_files:
+            ddf = spark.read.schema(schema).parquet(*dirty_files)
             cols = schema.fieldNames()
             order_cols = [self.order_col] + (["commit"] if "commit" in cols else [])
             winner = F.max_by(
                 F.struct(*[F.col(c) for c in cols]),
                 F.struct(*[F.col(c) for c in order_cols]),
             ).alias("_w")
-            df = df.groupBy(*[F.col(k) for k in self.key_cols]).agg(winner).select("_w.*")
+            parts.append(
+                ddf.groupBy(*[F.col(k) for k in self.key_cols]).agg(winner).select("_w.*")
+            )
+        if not parts:
+            df = spark.createDataFrame([], schema)
+        elif len(parts) == 1:
+            df = parts[0]
+        else:
+            df = parts[0].unionByName(parts[1])
         if not include_tombstones and TOMBSTONE_COL in schema.fieldNames():
             df = df.filter(
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
@@ -312,6 +368,32 @@ class SnapshotTable:
         """
         if mode not in ("replace", "append_delta"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        changed_buckets = list(changed_buckets)  # may be re-iterated on retry
+        # Optimistic concurrency: assemble against the freshest metadata and
+        # CAS-publish; a VersionConflict means another writer won this
+        # version, so refresh (picking up their snapshot AND their fences —
+        # the fence re-check makes racing duplicate epochs still exactly
+        # once) and re-apply.
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._commit_once(
+                    changed_files_by_bucket, changed_buckets, fence, new_schema, summary, mode
+                )
+            except VersionConflict:
+                continue
+        raise VersionConflict(
+            f"commit lost the metadata CAS {_MAX_COMMIT_RETRIES} times in a row"
+        )
+
+    def _commit_once(
+        self,
+        changed_files_by_bucket: dict[int, list[str]],
+        changed_buckets: Iterable[int],
+        fence: str | None,
+        new_schema: StructType | None,
+        summary: dict[str, Any] | None,
+        mode: str,
+    ) -> dict[str, Any] | None:
         self.refresh()
         if fence is not None and self.is_fence_committed(fence):
             return None
@@ -363,17 +445,38 @@ class SnapshotTable:
         return snap
 
     # --------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 10) -> int:
-        """Drop old snapshots from metadata (keeps current + last K)."""
+    def expire_snapshots(self, keep_last: int = 10, keep_fences_per_job: int = 64) -> int:
+        """Drop old snapshots AND old fences from metadata.
+
+        Keeps current + last ``keep_last`` snapshots, and per job the
+        ``keep_fences_per_job`` HIGHEST-epoch fences. Without fence pruning
+        ``committed_fences`` grows one entry per epoch forever and every
+        commit rewrites it — O(epochs^2) cumulative metadata bytes over a
+        long stream. Spark's checkpointed file source only ever re-delivers
+        the last planned epoch, so retaining a trailing window per job is
+        safe by a huge margin (a pruned fence would only matter if an epoch
+        older than the window were re-delivered, which the offset log
+        forbids)."""
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._expire_once(keep_last, keep_fences_per_job)
+            except VersionConflict:
+                continue
+        raise VersionConflict("expire_snapshots lost the metadata CAS repeatedly")
+
+    def _expire_once(self, keep_last: int, keep_fences_per_job: int) -> int:
         self.refresh()
         snaps = sorted(self.meta["snapshots"], key=lambda s: s["snapshot_id"])
-        if len(snaps) <= keep_last:
+        fences = self.meta.get("committed_fences", {})
+        pruned_fences = self._pruned_fences(fences, keep_fences_per_job)
+        if len(snaps) <= keep_last and len(pruned_fences) == len(fences):
             return 0
         keep = snaps[-keep_last:]
         keep_ids = {s["snapshot_id"] for s in keep} | {self.meta["current_snapshot_id"]}
         kept = [s for s in snaps if s["snapshot_id"] in keep_ids]
         dropped = len(snaps) - len(kept)
         self.meta["snapshots"] = kept
+        self.meta["committed_fences"] = pruned_fences
         self._write_version(self.version + 1)
         # metadata-log hygiene: a long-running stream commits one
         # v{N}.json per epoch; prune superseded versions (the current
@@ -385,9 +488,35 @@ class SnapshotTable:
                 os.remove(os.path.join(mdir, entry))
         return dropped
 
+    @staticmethod
+    def _pruned_fences(fences: dict[str, int], keep_per_job: int) -> dict[str, int]:
+        """Keep only each job's trailing ``keep_per_job`` fences (fence key
+        format ``"{job_id}:{epoch_id}"``; unparsable keys are kept)."""
+        by_job: dict[str, list[tuple[int, str]]] = {}
+        keep: dict[str, int] = {}
+        for fence, snap_id in fences.items():
+            job, sep, epoch = fence.rpartition(":")
+            if sep and epoch.lstrip("-").isdigit():
+                by_job.setdefault(job, []).append((int(epoch), fence))
+            else:
+                keep[fence] = snap_id
+        for entries in by_job.values():
+            entries.sort()
+            for _epoch, fence in entries[-keep_per_job:]:
+                keep[fence] = fences[fence]
+        return keep
+
     def vacuum(self) -> int:
         """Delete data files referenced by no retained snapshot. Returns the
-        number of files removed. Call only after expire_snapshots."""
+        number of files removed. Call only after expire_snapshots.
+
+        SINGLE-WRITER ASSUMPTION: vacuum must not run concurrently with an
+        in-flight commit — a writer that has written its data files but not
+        yet CAS-published its metadata would have those files collected as
+        orphans. The metadata CAS protects commits against each other, but
+        it cannot protect pre-commit files from GC; schedule vacuum from
+        the (single) maintenance owner, quiesced against writers (the
+        streaming ingest calls it only between epochs, on its own table)."""
         self.refresh()
         live: set[str] = set()
         for s in self.meta["snapshots"]:

@@ -16,14 +16,14 @@ BANNED = [
     (re.compile(r"\.rdd\b"), "RDD drop-down"),
     (re.compile(r"\.toPandas\s*\("), "driver-side toPandas materialization"),
     (re.compile(r"\.foreach\s*\("), "per-row foreach"),
+    (re.compile(r"\.first\s*\("), "driver-side first() probe"),
+    (re.compile(r"\.head\s*\("), "driver-side head() probe"),
 ]
 
 # .collect() is allowed ONLY for O(#buckets)/O(#files) metadata, never data
 COLLECT_ALLOWED = {
     "merge.py",  # bucket-stat rows (<= num_buckets)
     "maintenance.py",  # purgeable-bucket rows (<= num_buckets)
-    "cdc.py",  # driver-contract queries materialize their tiny results
-    "similarity.py",  # single-row dim probe
 }
 
 

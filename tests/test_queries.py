@@ -1,8 +1,18 @@
 """Pre-runs the driver's Spark-vs-DuckDB comparison for every registered
-query (SURVEY.md §5 layer 2) at sf0.001, strictly: identical row counts,
-identical sorted-row multisets (exact values — the decimal/quantization
-determinism rules must hold bit-for-bit), and rows-only sanity for
-queries without oracles."""
+query (SURVEY.md §5 layer 2), strictly and driver-faithfully:
+
+- identical row counts and column names,
+- **Arrow-level type compatibility** — the driver's value hash is type-aware,
+  so a DuckDB HUGEINT (int128 / decimal128(38,0)) where Spark emits BIGINT is
+  a failure even when every value is numerically equal (this exact bug
+  shipped in round 1: CORRECTNESS_r01 json_extract_events /
+  array_ops_embeddings / docs_token_stats),
+- identical sorted-row multisets (exact values — the decimal/quantization
+  determinism rules must hold bit-for-bit),
+- rows-only sanity + determinism for queries without oracles.
+
+Oracle queries run at BOTH sf0.001 and sf0.01 (the driver's compare scale).
+"""
 
 from __future__ import annotations
 
@@ -10,6 +20,7 @@ import math
 import os
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import sys
@@ -21,6 +32,8 @@ from etlframwork_spark.operators import ORACLES, QUERIES  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 
 def _duck(sf_dir):
@@ -37,6 +50,8 @@ def _norm(v):
         return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -45,20 +60,65 @@ def _rowset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 
+def _canon_type(t: pa.DataType):
+    """Canonical Arrow type tag. Integer WIDTH is significant (int64 vs
+    int128/HUGEINT must differ — that is the round-1 driver failure mode);
+    string/large_string and list/large_list are unified; timestamp unit/tz
+    are unified (both engines emit micro-second local values here)."""
+    if pa.types.is_integer(t):
+        return ("int", t.bit_width)
+    if pa.types.is_decimal(t):
+        # DuckDB surfaces HUGEINT as decimal128(38,0); any decimal where
+        # Spark produced a plain int is a widening bug we must catch.
+        return ("decimal", t.precision, t.scale)
+    if pa.types.is_floating(t):
+        return ("float", t.bit_width)
+    if pa.types.is_boolean(t):
+        return ("bool",)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("string",)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("binary",)
+    if pa.types.is_date(t):
+        return ("date",)
+    if pa.types.is_timestamp(t):
+        return ("timestamp",)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return ("list", _canon_type(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((f.name, _canon_type(f.type)) for f in t))
+    if pa.types.is_null(t):
+        return ("null",)
+    return ("other", str(t))
+
+
+def _arrow_types(tbl: pa.Table):
+    return {f.name: _canon_type(f.type) for f in tbl.schema}
+
+
 ORACLE_QUERIES = sorted(ORACLES)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+SCALE_FACTORS = ["sf0.001", "sf0.01"]
 
 
+@pytest.mark.parametrize("sf", SCALE_FACTORS)
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_duckdb(spark, sf_dir, name):
+def test_query_matches_duckdb(spark, name, sf):
+    sf_dir = os.path.join(TESTDATA, sf)
     sdf = QUERIES[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = sdf.collect()
+    stbl = sdf.toArrow()
+    scols = stbl.column_names
     con = _duck(sf_dir)
-    res = con.sql(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dtbl = con.sql(ORACLES[name]).fetch_arrow_table()
+    dcols = dtbl.column_names
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    # Driver-faithful: the value hash is type-aware, so Arrow types must
+    # agree per column (HUGEINT vs BIGINT is a FAIL even with equal values).
+    st, dt = _arrow_types(stbl), _arrow_types(dtbl)
+    type_diffs = {c: (st[c], dt[c]) for c in st if st[c] != dt[c]}
+    assert not type_diffs, f"{name}: arrow type mismatch (spark, duckdb): {type_diffs}"
+    srows = [tuple(r[c] for c in scols) for r in stbl.to_pylist()]
+    drows = [tuple(r[c] for c in dcols) for r in dtbl.to_pylist()]
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
     mismatches = [(a, b) for a, b in zip(sset, dset) if a != b]
