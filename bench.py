@@ -35,6 +35,7 @@ HEADLINE = [
     "docs_token_stats",
     "docs_exact_dedup",
     "docs_minhash_lsh",
+    "docs_dedup_pipeline",
     "docs_fingerprint",
     "emb_cosine_topk",
     "emb_ann_lsh",

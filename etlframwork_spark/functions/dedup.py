@@ -138,10 +138,24 @@ def minhash_signature(df: DataFrame, text_col: str = "text", ngram: int = 3) -> 
     return df.withColumn("sig", sig).drop("_tokens", "_shingles")
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+# Band buckets larger than this are dropped from candidate generation: a
+# degenerate corpus (thousands of identical/boilerplate docs) would
+# otherwise form a single quadratic join group. At 100 TB this cap is what
+# keeps the band join's worst case linear; the pairs it suppresses are
+# mass duplicates better handled by exact dedup first.
+MAX_BAND_BUCKET = 1000
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
     """Band the signatures (BAND_ROWS rows/band) and emit candidate pairs
     that collide in >=1 band, with their estimated jaccard (fraction of
-    equal signature slots). One shuffle on band keys; no quadratic scan."""
+    equal signature slots). One shuffle on band keys; no quadratic scan.
+    Buckets over ``max_bucket`` members are excluded (bounded worst case);
+    the over-cap bucket set is tiny by construction (each needs > max_bucket
+    members), so it broadcasts and the filter is a broadcast ANTI join —
+    never a broadcast of the O(corpus) occupied-bucket list."""
     nbands = NUM_PERM // BAND_ROWS
     bands = F.array(
         *[
@@ -150,6 +164,10 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     e = sigs.select(F.col(id_col), "sig", F.explode(bands).alias("band_key"))
+    hot = F.broadcast(
+        e.groupBy("band_key").count().filter(F.col("count") > max_bucket).select("band_key")
+    )
+    e = e.join(hot, "band_key", "left_anti")
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -168,6 +186,93 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def shingle_sets(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """Append ``shingles: array<string>`` — DISTINCT word n-grams (the raw
+    strings, not hashes, so the exact-verify stage is engine-portable)."""
+    tokens = F.expr(rf"split(trim(lower({text_col})), '\\s+')")
+    df = df.withColumn("_tokens", tokens)
+    n = F.size("_tokens")
+    sh = F.when(
+        n >= ngram,
+        F.expr(
+            f"transform(sequence(0, size(_tokens) - {ngram}), i -> "
+            f"concat_ws(' ', slice(_tokens, i + 1, {ngram})))"
+        ),
+    ).otherwise(F.expr("array(concat_ws(' ', _tokens))"))
+    return df.withColumn("shingles", F.array_distinct(sh)).drop("_tokens")
+
+
+def verify_pairs_exact(candidates: DataFrame, shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for CANDIDATE pairs only (the verify leg
+    of the dedup pipeline). Two slim equi-joins fetch each side's shingle
+    set; the intersection runs JVM-side. Only candidate rows move — never
+    the corpus cross product. int/int division is IEEE-stable for the
+    cross-engine compare."""
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    j = candidates.join(sa, "id_a").join(sb, "id_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    j = j.select(
+        "id_a",
+        "id_b",
+        n_common.alias("n_common"),
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"),
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return j.withColumn("jaccard", jac)
+
+
+@query(
+    "docs_dedup_pipeline",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ), d AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    """,
+)
+def docs_dedup_pipeline(spark, sf_dir):
+    """THE composed near-dup pipeline: MinHash signatures -> banded LSH
+    candidates (capped buckets) -> exact shingle-set Jaccard verify ON THE
+    CANDIDATES -> pairs with jaccard >= 0.7.
+
+    The DuckDB oracle computes the same >= 0.7 pair set by brute force
+    (all pairs), so this query also PROVES the LSH recall end-to-end: any
+    true near-dup pair the bands missed would surface as a row-count
+    mismatch. At 8 bands x 2 rows the analytic miss probability at
+    j = 0.7 is ~0.45% per pair and ~2e-6 at j = 0.9; the corpus's planted
+    dup pairs sit at j >= 0.7 and are all caught (deterministic — the
+    permutation constants are fixed).
+
+    Scale shape: signatures map-only; band join shuffles once on band
+    keys with capped buckets; verify joins shingle sets for CANDIDATE
+    rows only. No stage is quadratic in the corpus."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(d)
+    cands = lsh_candidate_pairs(sigs).select("id_a", "id_b")
+    shingled = shingle_sets(d)
+    return (
+        verify_pairs_exact(cands, shingled)
+        .filter(F.col("jaccard") >= 0.7)
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query("docs_minhash_lsh")  # xxhash64-based -> rows-only driver check
 def docs_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (shingle -> minhash -> band ->
@@ -179,7 +284,10 @@ def docs_minhash_lsh(spark, sf_dir):
 
 
 # ------------------------------------------------------------------- SimHash
-SIMHASH_BITS = 16
+# 32 bits: 16 was too coarse for a homogeneous corpus (a quarter of ALL
+# pairs landed within Hamming 3 of each other on the driver testdata —
+# near-zero precision as a near-dup signal).
+SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -206,3 +314,58 @@ def docs_simhash(spark, sf_dir):
     coded = simhash(d)
     sizes = coded.groupBy("simhash").agg(F.count(F.lit(1)).alias("bucket_size"))
     return coded.join(sizes, "simhash").select("doc_id", "simhash", "bucket_size").orderBy("doc_id")
+
+
+# SimHash Hamming-<=k pairing: split the 16-bit code into SIMHASH_SEGMENTS
+# segments; by pigeonhole, two codes at Hamming distance <= k with
+# k < SIMHASH_SEGMENTS agree on at least one whole segment, so an
+# equi-join on (segment index, segment bits) finds ALL such pairs with
+# recall exactly 1 — never an all-pairs scan.
+SIMHASH_SEGMENTS = 4
+_SEG_BITS = SIMHASH_BITS // SIMHASH_SEGMENTS
+
+
+def simhash_pairs(
+    coded: DataFrame,
+    max_hamming: int = SIMHASH_SEGMENTS - 1,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Candidate pairs within Hamming distance ``max_hamming`` of each
+    other (``coded`` needs columns (id_col, simhash)). Guaranteed-recall
+    segment banding + exact bit_count(xor) verify; over-cap segment
+    buckets are dropped via a broadcast anti join (bounded worst case)."""
+    if max_hamming >= SIMHASH_SEGMENTS:
+        raise ValueError("pigeonhole guarantee needs max_hamming < SIMHASH_SEGMENTS")
+    mask = (1 << _SEG_BITS) - 1
+    segs = F.array(
+        *[
+            F.xxhash64(F.lit(s), F.shiftright(F.col("simhash"), s * _SEG_BITS).bitwiseAND(F.lit(mask)))
+            for s in range(SIMHASH_SEGMENTS)
+        ]
+    )
+    e = coded.select(F.col(id_col), "simhash", F.explode(segs).alias("seg_key"))
+    hot = F.broadcast(
+        e.groupBy("seg_key").count().filter(F.col("count") > max_bucket).select("seg_key")
+    )
+    e = e.join(hot, "seg_key", "left_anti")
+    a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("code_a"), "seg_key")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("code_b"), "seg_key")
+    hamming = F.bit_count(F.expr("code_a ^ code_b"))
+    return (
+        a.join(b, ["seg_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "code_a", "code_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+@query("docs_simhash_pairs")  # rows-only (xxhash64-based)
+def docs_simhash_pairs(spark, sf_dir):
+    """Near-dup candidate pairs at SimHash Hamming distance <= 3 — the
+    banded upgrade over distance-0 code collisions (round-1 gap: exact
+    collisions under-recall). Recall vs exact Jaccard asserted in
+    tests/test_dedup.py."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(simhash(d)).orderBy("id_a", "id_b")

@@ -134,6 +134,64 @@ def cdc_incremental_changes(spark, sf_dir):
     ).orderBy("repo", "path")
 
 
+@query("cdc_quarantine_stats")  # rows-only: exercises the engine's own sink
+def cdc_quarantine_stats(spark, sf_dir):
+    """Parse/validate + quarantine leg (SURVEY §2.1 S3): a batch carrying
+    malformed events (unknown op, null key, null lsn) goes through
+    merge_batch with a quarantine sink; returns per-op quarantine counts
+    plus the count of rows that made it into the table — proving malformed
+    rows are diverted, not dropped and not applied."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from ..events import TARGET_BASE_SCHEMA
+    from ..merge import merge_batch
+    from ..table import SnapshotTable
+
+    loose = StructType(
+        [
+            StructField("op", StringType(), True),
+            StructField("lsn", LongType(), True),
+            StructField("repo", StringType(), True),
+            StructField("path", StringType(), True),
+            StructField("commit", StringType(), True),
+            StructField("content", StringType(), True),
+        ]
+    )
+    rows = []
+    for i in range(60):  # valid upserts
+        rows.append(("insert", i + 1, f"r{i % 5}", f"f{i}.py", f"c{i}", f"body {i}"))
+    for i in range(7):  # unknown op
+        rows.append(("bogus", 1000 + i, "r0", f"bad{i}.py", f"c{i}", "x"))
+    for i in range(5):  # null key
+        rows.append(("insert", 2000 + i, None, f"nk{i}.py", f"c{i}", "x"))
+    for i in range(3):  # null lsn
+        rows.append(("update", None, "r1", f"nl{i}.py", f"c{i}", "x"))
+
+    work, built = _workdir("cdc_quarantine")
+    root, qdir = os.path.join(work, "t"), os.path.join(work, "q")
+    if not built:
+        table = SnapshotTable.create(
+            root, TARGET_BASE_SCHEMA, key_cols=["repo", "path"], order_col="lsn", num_buckets=4
+        )
+        merge_batch(
+            spark, table, spark.createDataFrame(rows, schema=loose),
+            epoch_id=0, quarantine_dir=qdir,
+        )
+    else:
+        table = SnapshotTable.load(root)
+    quarantined = (
+        spark.read.schema(loose).parquet(qdir)
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("disposition", F.lit("quarantined"))
+    )
+    applied = (
+        table.read(spark)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("insert").alias("op"), "n", F.lit("applied").alias("disposition"))
+    )
+    return quarantined.unionByName(applied).orderBy("disposition", "op")
+
+
 @query(
     "cdc_lineage_rollup",
     oracle=None,  # reads the engine's own metrics table -> rows-only

@@ -121,6 +121,11 @@ class IngestJob:
     num_salts: int = 16
     available_now: bool = True  # drain-and-stop; else continuous
     processing_interval: str = "5 seconds"
+    # metadata hygiene cadence: every N epochs expire old snapshots and
+    # prune old fences so a long-running stream's metadata stays O(buckets
+    # + retained window) instead of O(epochs). None disables.
+    expire_every: int | None = 50
+    keep_snapshots: int = 10
 
     @classmethod
     def from_dict(cls, d: dict) -> "IngestJob":
@@ -175,6 +180,8 @@ def run_ingest(
             from ..maintenance import compact_buckets
 
             compact_buckets(batch_df.sparkSession, table, min_deltas=job.compact_min_deltas)
+        if job.expire_every and epoch_id > 0 and epoch_id % job.expire_every == 0:
+            table.expire_snapshots(keep_last=job.keep_snapshots)
 
     stream = (
         spark.readStream.schema(event_schema)

@@ -10,7 +10,10 @@ from etlframwork_spark.functions.dedup import (
     NUM_PERM,
     lsh_candidate_pairs,
     minhash_signature,
+    shingle_sets,
     simhash,
+    simhash_pairs,
+    verify_pairs_exact,
 )
 
 WORDS = [f"w{i}" for i in range(200)]
@@ -79,6 +82,54 @@ def test_minhash_identical_docs_full_signature_match(spark):
     assert pairs[0]["est_jaccard"] == 1.0
 
 
+def test_simhash_pairs_hamming_banding_recall(spark):
+    """Segment banding must find EVERY pair within Hamming <= 3 (pigeonhole
+    guarantee), and most planted near-dup text pairs should be within it."""
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    coded = simhash(df)
+    codes = {r["doc_id"]: r["simhash"] for r in coded.collect()}
+    ids = sorted(codes)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(codes[a] ^ codes[b]).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(coded).collect()}
+    assert got == truth, f"banding missed {len(truth - got)} / extra {len(got - truth)}"
+    # the planted mutations should mostly land within hamming 3 (recall as a
+    # near-dup TOOL, mirroring the MinHash recall test)
+    planted = {(i, 1000 + i) for i in range(30)}
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.6, f"simhash near-dup recall {recall:.2f}"
+
+
+def test_lsh_hot_bucket_cap_bounds_join_groups(spark):
+    """A degenerate corpus (hundreds of identical docs) must NOT produce a
+    quadratic join group: over-cap band buckets are dropped entirely."""
+    docs = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(300)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = minhash_signature(df)
+    pairs = lsh_candidate_pairs(sigs, max_bucket=50)
+    assert pairs.count() == 0  # every bucket holds all 300 docs -> all dropped
+    # and with the cap above the corpus size the pairs come back
+    assert lsh_candidate_pairs(sigs, max_bucket=500).count() == 300 * 299 // 2
+
+
+def test_verify_pairs_exact_matches_python_oracle(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    shingled = shingle_sets(df)
+    cands = spark.createDataFrame(
+        [(docs[0][0], 1000 + docs[0][0]), (docs[0][0], 2000)], ["id_a", "id_b"]
+    )
+    by_id = dict(docs)
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verify_pairs_exact(cands, shingled).collect()}
+    for (a, b), got in out.items():
+        assert abs(got - _true_jaccard(by_id[a], by_id[b])) < 1e-12
+
+
 def test_simhash_exact_and_near(spark):
     docs = _corpus()
     df = spark.createDataFrame(docs + [(9999, docs[0][1])], ["doc_id", "text"])
@@ -87,4 +138,6 @@ def test_simhash_exact_and_near(spark):
     assert codes[9999] == codes[docs[0][0]]
     # planted near-dups -> small hamming distance on average
     dists = [bin(codes[i] ^ codes[1000 + i]).count("1") for i in range(30)]
-    assert sum(dists) / len(dists) <= 4.0, f"mean hamming {sum(dists)/len(dists)}"
+    from etlframwork_spark.functions.dedup import SIMHASH_BITS
+
+    assert sum(dists) / len(dists) <= SIMHASH_BITS / 4, f"mean hamming {sum(dists)/len(dists)}"

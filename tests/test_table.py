@@ -117,3 +117,102 @@ def test_bucket_pruning_and_vacuum(tmp_path, spark):
     removed = t.vacuum()
     assert removed >= 1
     assert t.read(spark).count() == 2
+
+
+# --------------------------------------------------------------- round 2 tests
+def test_metadata_publish_is_compare_and_swap(tmp_path):
+    """Two writers loaded at the same version must not silently overwrite
+    each other: the second publish CAS-fails and retries on fresh state,
+    so BOTH commits survive."""
+    t1 = _mk(tmp_path)
+    t2 = SnapshotTable.load(t1.root)
+    f1 = os.path.join(t1.root, "data", "w1", "f1.parquet")
+    f2 = os.path.join(t1.root, "data", "w2", "f2.parquet")
+    r = {"repo": "a", "path": "x", "commit": "c", "content": "v", "lsn": 1, "content_sha256": "s"}
+    _write_parquet(f1, [r], ARROW_BASE)
+    _write_parquet(f2, [dict(r, path="y")], ARROW_BASE)
+    s1 = t1.commit({0: [f1]}, [0], fence="w1:0", summary={"operation": "t1"})
+    # t2 still believes the old version; its commit must retry, not clobber
+    s2 = t2.commit({1: [f2]}, [1], fence="w2:0", summary={"operation": "t2"})
+    assert s1 is not None and s2 is not None
+    final = SnapshotTable.load(t1.root)
+    assert final.is_fence_committed("w1:0") and final.is_fence_committed("w2:0")
+    snap = final.snapshot()
+    assert "0" in snap["files"] and "1" in snap["files"]
+
+
+def test_raw_version_conflict_raises(tmp_path):
+    """The low-level publish itself is exclusive (os.link semantics)."""
+    from etlframwork_spark.table import VersionConflict
+
+    t1 = _mk(tmp_path)
+    t2 = SnapshotTable.load(t1.root)
+    t1.meta["snapshots"][-1]["summary"]["who"] = "t1"
+    t1._write_version(t1.version + 1)
+    t2.meta["snapshots"][-1]["summary"]["who"] = "t2"
+    with pytest.raises(VersionConflict):
+        t2._write_version(t2.version + 1)
+    assert SnapshotTable.load(t1.root).snapshot()["summary"]["who"] == "t1"
+
+
+def test_metadata_stays_bounded_over_many_epochs(tmp_path, spark):
+    """Many epochs + maintenance: metadata JSON size is O(buckets +
+    retained snapshots + retained fences), NOT O(epochs); state unchanged."""
+    import json
+
+    from etlframwork_spark.merge import merge_batch
+    from etlframwork_spark.events import CDC_BASE_SCHEMA
+
+    t = _mk(tmp_path)
+    for epoch in range(50):
+        rows = [("insert", epoch * 10 + i, f"r{i % 7}", f"f{i}.py", f"c{epoch}_{i}", "x") for i in range(8)]
+        merge_batch(spark, t, spark.createDataFrame(rows, schema=CDC_BASE_SCHEMA),
+                    job_id="bound", epoch_id=epoch)
+        if epoch % 20 == 19:
+            t.expire_snapshots(keep_last=5, keep_fences_per_job=10)
+    t.expire_snapshots(keep_last=5, keep_fences_per_job=10)
+    t.refresh()
+    assert len(t.meta["snapshots"]) <= 6
+    fences = t.meta["committed_fences"]
+    assert len(fences) <= 10
+    # the trailing fences survive (the only ones re-deliverable)
+    assert t.is_fence_committed("bound:49") and t.is_fence_committed("bound:40")
+    meta_bytes = len(json.dumps(t.meta))
+    assert meta_bytes < 20_000, f"metadata grew to {meta_bytes} bytes"
+    # state unchanged: 8 live keys ((r{i%7}, f{i}.py) for i in 0..7)
+    assert t.read(spark).count() == 8
+
+
+def test_mor_read_resolves_only_delta_buckets(tmp_path, spark):
+    """Bucket-local merge-on-read: deltas on 1 of 4 buckets -> only that
+    bucket's rows pass through the LWW group-by; clean buckets union in
+    flat (exactly one hash-partitioning Exchange in the plan)."""
+    from etlframwork_spark.merge import merge_batch
+    from etlframwork_spark.events import CDC_BASE_SCHEMA
+
+    t = _mk(tmp_path)
+    rows = [("insert", i + 1, f"r{i}", f"f{i}.py", f"c{i}", f"v{i}") for i in range(40)]
+    merge_batch(spark, t, spark.createDataFrame(rows, schema=CDC_BASE_SCHEMA),
+                job_id="m", epoch_id=0)  # cow base across all 4 buckets
+    upd = [("update", 100, "r0", "f0.py", "cX", "v0-new")]
+    merge_batch(spark, t, spark.createDataFrame(upd, schema=CDC_BASE_SCHEMA),
+                job_id="m", epoch_id=1, write_mode="mor")
+    t.refresh()
+    dirty_expected = set(t.delta_file_counts())
+    assert len(dirty_expected) == 1
+    clean, dirty = t._split_buckets_for_read(None, None)
+    assert dirty == dirty_expected
+    assert clean == set(range(4)) - dirty_expected
+    df = t.read(spark)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Union" in plan
+    # correctness: the update won, everything else untouched
+    got = {(r["repo"], r["path"]): r["content"] for r in df.collect()}
+    assert got[("r0", "f0.py")] == "v0-new"
+    assert len(got) == 40
