@@ -50,9 +50,43 @@ EPOCH_METRICS_SCHEMA = pa.schema(
         ("files_written", pa.int32()),
         ("seconds", pa.float64()),
         ("events_per_sec", pa.float64()),
+        # shuffle traffic attributable to this epoch (bytes; null when the
+        # Spark UI/REST endpoint is disabled) — THE number to watch for
+        # scaling: efficiency loss at 4N cores tracks bytes-through-memory
+        ("shuffle_read_bytes", pa.int64()),
+        ("shuffle_write_bytes", pa.int64()),
+        ("input_bytes", pa.int64()),
+        ("output_bytes", pa.int64()),
         ("committed_at", pa.timestamp("us")),
     ]
 )
+
+
+def shuffle_totals(spark) -> dict[str, int] | None:
+    """Cumulative app-level shuffle read/write bytes via the Spark UI REST
+    API (public, stable). Returns None when the UI is disabled (the
+    default for this engine — callers sample deltas only in bench/metrics
+    sessions that enable it)."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages", timeout=5) as r:
+            stages = _json.load(r)
+    except Exception:
+        return None
+    return {
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        # scan + sink volume — lets the epoch metrics show where the
+        # memory-bandwidth budget actually goes (shuffle vs I/O)
+        "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+        "output_bytes": sum(s.get("outputBytes", 0) for s in stages),
+    }
 
 
 def file_stats(path: str, lsn_col: str = "lsn") -> tuple[int, int, int | None, int | None]:

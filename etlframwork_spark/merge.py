@@ -23,6 +23,12 @@ sorted-merge apply)" as a copy-on-write merge into the bucketed
       BJ:6 "salted repartitioning on hot repos") caps group sizes, then
       ``applyInPandas`` folds each key's events in (lsn, commit) order.
       Vectorized Arrow transfer; no per-row Python outside the fold.
+    * ``raw`` (merge-on-read only): no batch dedup at all — every
+      validated event lands as a delta row and the read/compaction LWW
+      resolves winners. One payload shuffle per epoch (the bucket-aligned
+      write) instead of two; measured ~equal to ``maxby`` on the bench
+      workload (~3 events/key/epoch) and strictly better for insert-heavy
+      streams; costs larger delta files under heavy per-key churn.
 
     LWW is associative/commutative over the total order (lsn, commit) —
     commit ids are unique per event — so both strategies and any salting
@@ -56,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from .lineage import MetricsTable
+from .lineage import MetricsTable, shuffle_totals
 from .table import BUCKET_COL, TOMBSTONE_COL, SnapshotTable, bucket_expr
 
 VALID_OPS = ("insert", "update", "delete")
@@ -218,7 +224,10 @@ def merge_batch(
     """
     if write_mode not in ("cow", "mor"):
         raise ValueError(f"unknown write_mode {write_mode!r}")
+    if resolve == "raw" and write_mode != "mor":
+        raise ValueError("resolve='raw' (no batch dedup) requires write_mode='mor'")
     t0 = time.monotonic()
+    shuffle0 = shuffle_totals(spark)  # None unless the UI/REST is enabled
     fence = f"{job_id}:{epoch_id}"
     hook = fault_injector or (lambda stage: None)
     table.refresh()
@@ -298,7 +307,16 @@ def merge_batch(
     # deterministic total order: (lsn, commit) — commit is unique per event;
     # tables without a commit column fall back to lsn alone (SURVEY §7.4.3)
     order_cols = [table.order_col] + (["commit"] if "commit" in all_cols else [])
-    if resolve == "maxby":
+    if resolve == "raw":
+        # merge-on-read fast path with NO batch dedup: every validated event
+        # becomes a delta row (deletes as tombstones) and read/compaction's
+        # LWW resolves winners. Correct by the same associativity argument
+        # as deferring conflicts against stored rows; trades delta size for
+        # removing the resolve shuffle entirely — the payload then crosses
+        # exactly ONE exchange per epoch (the bucket-aligned write
+        # distribution). Best for insert-heavy / low-duplication streams.
+        resolved = ev_aligned
+    elif resolve == "maxby":
         resolved = _resolve_maxby(unioned, key_cols, all_cols + ["op"], order_cols)
     elif resolve == "two_phase":
         resolved = _resolve_two_phase(unioned, key_cols, all_cols + ["op"], order_cols)
@@ -370,11 +388,20 @@ def merge_batch(
     # -- 7. lineage + throughput metrics --------------------------------------
     t_l0 = time.monotonic()
     secs = time.monotonic() - t0
+    shuffle1 = shuffle_totals(spark) if shuffle0 is not None else None
+    sh_read = sh_write = io_in = io_out = None
+    if shuffle0 is not None and shuffle1 is not None:
+        sh_read = shuffle1["shuffle_read_bytes"] - shuffle0["shuffle_read_bytes"]
+        sh_write = shuffle1["shuffle_write_bytes"] - shuffle0["shuffle_write_bytes"]
+        io_in = shuffle1["input_bytes"] - shuffle0["input_bytes"]
+        io_out = shuffle1["output_bytes"] - shuffle0["output_bytes"]
     summary.update(
         snapshot_id=snap["snapshot_id"],
         files_written=sum(len(v) for v in files_by_bucket.values()),
         seconds=secs,
         events_per_sec=(n_events / secs if secs > 0 else None),
+        shuffle_read_bytes=sh_read,
+        shuffle_write_bytes=sh_write,
     )
     timings["lineage"] = 0.0
     if metrics is not None:
@@ -395,6 +422,10 @@ def merge_batch(
                 "files_written": summary["files_written"],
                 "seconds": secs,
                 "events_per_sec": summary["events_per_sec"],
+                "shuffle_read_bytes": sh_read,
+                "shuffle_write_bytes": sh_write,
+                "input_bytes": io_in,
+                "output_bytes": io_out,
             }
         )
     summary["timings"] = timings

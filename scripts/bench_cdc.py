@@ -35,6 +35,7 @@ def main() -> None:
     ap.add_argument("--master", default=None, help="override master (e.g. local-cluster[2,4,6144] for multi-executor)")
     ap.add_argument("--write-mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--compact-min-deltas", type=int, default=None)
+    ap.add_argument("--codec", default=None, help="spark.io.compression.codec override (lz4/zstd)")
     args = ap.parse_args()
 
     from etlframwork_spark.events import EventLogSpec, generate_event_log
@@ -53,11 +54,15 @@ def main() -> None:
         generate_event_log(cache, spec)
 
     master = args.master or f"local[{args.cpus}]"
-    extra = {}
+    # UI on: the REST endpoint is how merge_batch attributes shuffle
+    # read/write bytes to each epoch (lineage.shuffle_totals)
+    extra = {"spark.ui.enabled": "true"}
     if master.startswith("local-cluster"):
         # executors are separate JVMs: give each a real heap
-        extra = {"spark.executor.memory": "6g"}
+        extra["spark.executor.memory"] = "6g"
         os.environ.setdefault("SPARK_HOME", "/opt/spark")
+    if args.codec:
+        extra["spark.io.compression.codec"] = args.codec
     spark = build_session(master=master, app_name=f"cdc-bench-{args.cpus}",
                           shuffle_partitions=4 * args.cpus, extra_conf=extra)
     work = tempfile.mkdtemp(prefix=f"cdc_scale_{args.cpus}_")
@@ -108,13 +113,15 @@ def main() -> None:
         # steady-state throughput: per-epoch metrics, excluding the first
         # epoch (JIT/page-cache warm-up) — the regime that matters for a
         # 10^10-event replay where warm-up is a rounding error.
-        eps = sorted(
-            (r["epoch_id"], r["events"], r["seconds"])
-            for r in spark.read.parquet(os.path.join(work, "metrics", "epochs")).collect()
-        )
+        em = spark.read.parquet(os.path.join(work, "metrics", "epochs")).collect()
+        eps = sorted((r["epoch_id"], r["events"], r["seconds"]) for r in em)
         steady = eps[1:] if len(eps) > 1 else eps
         s_events = sum(e for _i, e, _s in steady)
         s_secs = sum(s for _i, _e, s in steady)
+        sh_read = sum(r["shuffle_read_bytes"] or 0 for r in em)
+        sh_write = sum(r["shuffle_write_bytes"] or 0 for r in em)
+        io_in = sum(r["input_bytes"] or 0 for r in em)
+        io_out = sum(r["output_bytes"] or 0 for r in em)
         print(
             json.dumps(
                 {
@@ -127,6 +134,12 @@ def main() -> None:
                     "epoch_seconds": [round(s, 2) for _i, _e, s in eps],
                     "resolve": args.resolve,
                     "write_mode": args.write_mode,
+                    "shuffle_read_bytes": sh_read,
+                    "shuffle_write_bytes": sh_write,
+                    "shuffle_write_bytes_per_event": round(sh_write / args.events, 1),
+                    "input_bytes_per_event": round(io_in / args.events, 1),
+                    "output_bytes_per_event": round(io_out / args.events, 1),
+                    "epoch_shuffle_write_bytes": [r["shuffle_write_bytes"] for r in sorted(em, key=lambda r: r["epoch_id"])],
                     "final_rows": chk["rows"],
                     "state_digest": int(chk["digest"]),
                 }

@@ -105,6 +105,9 @@ def main() -> None:
                 "overall_events_per_sec": r["events_per_sec"],
                 "wall_seconds": r["seconds"],
                 "epoch_seconds": r["epoch_seconds"],
+                "shuffle_write_bytes_per_event": r.get("shuffle_write_bytes_per_event"),
+                "input_bytes_per_event": r.get("input_bytes_per_event"),
+                "output_bytes_per_event": r.get("output_bytes_per_event"),
             }
             for c, r in runs.items()
         },
@@ -121,7 +124,9 @@ def main() -> None:
     level_rows = "\n".join(
         f"| {c} cores (pinned) | {runs[c]['steady_events_per_sec']:,.0f} events/s steady "
         f"(overall {runs[c]['events_per_sec']:,.0f}; wall {runs[c]['seconds']:.1f}s; "
-        f"epochs {runs[c]['epoch_seconds']}) |"
+        f"epochs {runs[c]['epoch_seconds']}) | "
+        f"{runs[c].get('shuffle_write_bytes_per_event', '?')} | "
+        f"{runs[c].get('input_bytes_per_event', '?')} / {runs[c].get('output_bytes_per_event', '?')} |"
         for c in levels
     )
     pair_rows = "\n".join(
@@ -141,9 +146,15 @@ Methodology and why each control exists: scripts/bench_scaling.py.
 Replay: {args.events:,} change events (seed=42, 20% hot-repo skew, 5%
 deletes, ~800B contents), streaming MERGE in {len(runs[levels[0]]['epoch_seconds'])} micro-batches.
 
-| parallelism | throughput |
-|---|---|
+| parallelism | throughput | shuffle write B/event | input / output B/event |
+|---|---|---|---|
 {level_rows}
+
+Byte columns come from the Spark UI REST stage metrics, attributed per
+epoch inside merge_batch (lineage.shuffle_totals). Shuffle B/event grows
+mildly with cores because map-side partial_max_by sees smaller
+partitions (fewer same-key collapses before the exchange) — quantified
+evidence that the shuffle, not the plan, is what scales imperfectly.
 
 | pair | scaling efficiency (target >= 0.80) |
 |---|---|
