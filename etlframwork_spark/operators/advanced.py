@@ -1,0 +1,219 @@
+"""Advanced relational operators that round 1 scoped out (SURVEY.md §2
+J8 range/theta join, D4 grouped-agg UDAF, D5 UDTF) plus gap-based
+sessionization — each as a driver-contract query with a DuckDB oracle.
+
+Scale notes are per-operator; the common theme is that nothing here is
+quadratic: the range join is bucketed to an equi-join, sessionization is
+one shuffle on user_id, the UDAF runs on pre-shrunk Arrow groups, and
+the UDTF is explicitly bounded (per-row Python is the demo of the
+surface, not the hot path — SURVEY §2.10 keeps JVM functions for bulk
+token work; see functions/text.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load_table
+from .registry import query
+
+# ------------------------------------------------------------------------ J8
+# Range/theta join done the 100 TB way: equi-join on (user_id, coarse time
+# bucket) with the exact range predicate applied AFTER co-location. The
+# probe side explodes to the two buckets its window can overlap, so every
+# qualifying pair meets in exactly one task and the join never degrades to
+# a broadcast-nested-loop over the full table.
+_WINDOW_MIN = 10
+
+
+@query(
+    "range_join_error_context",
+    oracle=f"""
+    SELECT e.event_id AS error_id,
+           COUNT(c.event_id) AS n_clicks_before,
+           COALESCE(CAST(SUM(CAST(round(c.value * 100, 0) AS BIGINT)) AS BIGINT), 0) AS click_value_q
+    FROM events e LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL {_WINDOW_MIN} MINUTE
+     AND c.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def range_join_error_context(spark, sf_dir):
+    """J8: for every error event, the same user's click count/value in the
+    preceding {10} minutes. DuckDB verifies with a plain theta join; the
+    Spark plan buckets time so the theta term rides an equi shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / (60 * _WINDOW_MIN)).cast("long")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+            F.explode(F.array(bucket, bucket - 1)).alias("tb"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("value_q"),
+        bucket.alias("tb"),
+    )
+    pairs = errors.join(clicks, ["user_id", "tb"], "left").filter(
+        F.col("c_ts").isNull()
+        | (
+            (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {_WINDOW_MIN} MINUTES"))
+            & (F.col("c_ts") < F.col("e_ts"))
+        )
+    )
+    # the 2-bucket explode can match the same click twice only if the two
+    # buckets coincide (never: b != b-1); a click pairs via exactly one
+    # bucket value, so no dedup is needed — but a qualifying error with
+    # matches in one exploded bucket and not the other must not emit a
+    # spurious null row: aggregate per error over all its exploded rows.
+    return pairs.groupBy("error_id").agg(
+        F.count("c_ts").alias("n_clicks_before"),
+        F.coalesce(F.sum("value_q"), F.lit(0)).cast("long").alias("click_value_q"),
+    )
+
+
+# ------------------------------------------------------------ sessionization
+_GAP_MIN = 30
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM o
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_sec
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits): lag -> start
+    flag -> running sum = session number -> per-session rollup. One
+    shuffle on user_id; every window reuses the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0).alias("is_start"),
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("long").alias("span_sec"),
+    )
+
+
+# ------------------------------------------------------------------------ D4
+@query(
+    "grouped_udaf_value_stats",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vq FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(median(vq) AS DOUBLE) AS median_q,
+           CAST(SUM(vq) AS BIGINT) AS sum_q
+    FROM q GROUP BY event_type
+    """,
+)
+def grouped_udaf_value_stats(spark, sf_dir):
+    """D4 grouped-agg UDAF surface: per-group MEDIAN via applyInPandas
+    (median is not decomposable, i.e. a genuine custom aggregate). Values
+    are integer-quantized first so the even-count midpoint average is the
+    same exact double in pandas and DuckDB. Arrow-batched; groups arrive
+    pre-shuffled once."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vq")
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n", LongType()),
+            StructField("median_q", DoubleType()),
+            StructField("sum_q", LongType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["vq"].sort_values().reset_index(drop=True)
+        n = len(v)
+        mid = n // 2
+        median = float(v[mid]) if n % 2 else (float(v[mid - 1]) + float(v[mid])) / 2.0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n],
+                "median_q": [median],
+                "sum_q": [int(v.sum())],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(stats, schema=out_schema)
+
+
+# ------------------------------------------------------------------------ D5
+@query(
+    "udtf_token_explode",
+    oracle="""
+    SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token
+    FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 20
+    ), LATERAL (
+        SELECT UNNEST(generate_series(1, len(toks))) - 1 AS pos,
+               UNNEST(toks) AS token
+    ) u
+    """,
+)
+def udtf_token_explode(spark, sf_dir):
+    """D5 UDTF surface: a Python user-defined TABLE function exploding a
+    document into (pos, token) rows via a lateral join. Deliberately
+    bounded to 20 docs — the UDTF is the API demonstration; bulk token
+    work stays JVM-side (posexplode/split, functions/text.py)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class TokenExplode:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.strip().split()):
+                yield i, tok
+
+    spark.udtf.register("token_explode", TokenExplode)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token FROM docs_for_udtf, LATERAL token_explode(text) t"
+    )
