@@ -25,59 +25,24 @@ new column (micro-batch-boundary resolution per BJ:6).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 from typing import Callable
 
-import pyarrow.parquet as pq
-import pyarrow.types as patypes
-
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructField, StructType
-from pyspark.sql.pandas.types import from_arrow_type
 
 from ..lineage import MetricsTable
 from ..merge import SHA_COL, merge_batch
 from ..table import SnapshotTable
+from .sources import FileStreamSource
 
 from pyspark.sql.types import StringType
 
 
 def discover_event_schema(events_dir: str) -> StructType:
-    """Additive union of all segment footers (driver-side, O(#files)).
-
-    Upstream drift is caught LOUDLY: if two segments disagree on a
-    column's type (beyond timezone normalization), this raises instead of
-    silently reading the later segment with the first-seen type — an
-    explicit-schema read of a type-changed column would surface as nulls
-    or read errors deep inside an epoch otherwise."""
-    files = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))
-    if not files:
-        raise FileNotFoundError(f"no event segments under {events_dir}")
-    fields: dict[str, StructField] = {}
-    seen_arrow: dict[str, tuple[object, str]] = {}  # name -> (normalized arrow type, first file)
-    order: list[str] = []
-    for f in files:
-        sch = pq.ParquetFile(os.path.join(events_dir, f)).schema_arrow
-        for af in sch:
-            atype = (
-                af.type.remove_timezone()
-                if patypes.is_timestamp(af.type) and af.type.tz
-                else af.type
-            )
-            if af.name not in fields:
-                fields[af.name] = StructField(af.name, from_arrow_type(atype), True)
-                seen_arrow[af.name] = (atype, f)
-                order.append(af.name)
-            elif seen_arrow[af.name][0] != atype:
-                first_t, first_f = seen_arrow[af.name]
-                raise TypeError(
-                    f"event schema drift on column {af.name!r}: segment "
-                    f"{first_f} has {first_t}, segment {f} has {atype} — "
-                    "upstream type changes are not additive evolution; "
-                    "fix the producer or route the segment to quarantine"
-                )
-    return StructType([fields[n] for n in order])
+    """Back-compat wrapper over FileStreamSource.discover_schema (the
+    source seam owns schema discovery since round 2 — see sources.py)."""
+    return FileStreamSource(events_dir).discover_schema()
 
 
 def derive_target_schema(
@@ -151,14 +116,22 @@ def run_ingest(
     job: IngestJob,
     fault_injector: Callable[[str], None] | None = None,
     await_termination: bool = True,
+    source=None,
 ):
     """Start (or resume, given the same checkpoint) the ingest stream.
 
     With ``available_now`` the call drains all currently-visible segments
     in ``max_files_per_trigger`` chunks and returns; otherwise it returns
     the running StreamingQuery for the caller to manage.
+
+    ``source`` may be any object with ``discover_schema()`` and
+    ``read_stream(spark, schema)`` (sources.py); defaults to the file
+    tail described by the job. Swapping in KafkaStreamSource changes
+    nothing else — fencing, checkpointing and MERGE are source-agnostic.
     """
-    event_schema = discover_event_schema(job.events_dir)
+    if source is None:
+        source = FileStreamSource(job.events_dir, job.max_files_per_trigger)
+    event_schema = source.discover_schema()
     table = open_or_create_table(job, event_schema)
     metrics = MetricsTable(job.metrics_dir) if job.metrics_dir else None
 
@@ -183,11 +156,7 @@ def run_ingest(
         if job.expire_every and epoch_id > 0 and epoch_id % job.expire_every == 0:
             table.expire_snapshots(keep_last=job.keep_snapshots)
 
-    stream = (
-        spark.readStream.schema(event_schema)
-        .option("maxFilesPerTrigger", job.max_files_per_trigger)
-        .parquet(job.events_dir)
-    )
+    stream = source.read_stream(spark, event_schema)
     writer = stream.writeStream.foreachBatch(apply_epoch).option(
         "checkpointLocation", job.checkpoint_dir
     )

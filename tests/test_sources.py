@@ -1,0 +1,56 @@
+"""Stream-source seam (SURVEY §2.1 S2 + round-2 VERDICT 'missing #6'):
+the file tail and a future Kafka tail plug into run_ingest identically."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etlframwork_spark.events import EventLogSpec, generate_event_log
+from etlframwork_spark.streaming import IngestJob, run_ingest
+from etlframwork_spark.streaming.sources import FileStreamSource, KafkaStreamSource
+
+ENVELOPE = StructType(
+    [
+        StructField("op", StringType()),
+        StructField("lsn", LongType()),
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+def test_explicit_file_source_equals_default(spark, tmp_path):
+    spec = EventLogSpec(seed=11, n_events=800, n_repos=10, paths_per_repo=5, n_files=2)
+    events = str(tmp_path / "events")
+    generate_event_log(events, spec)
+
+    def mk(name, source):
+        job = IngestJob(
+            job_id=name,
+            events_dir=events,
+            table_root=str(tmp_path / name / "t"),
+            checkpoint_dir=str(tmp_path / name / "c"),
+            num_buckets=4,
+        )
+        return run_ingest(spark, job, source=source)
+
+    t_default = mk("default", None)
+    t_explicit = mk("explicit", FileStreamSource(events, max_files_per_trigger=1))
+    a = {tuple(r) for r in t_default.read(spark).collect()}
+    b = {tuple(r) for r in t_explicit.read(spark).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_kafka_source_schema_and_actionable_failure(spark):
+    src = KafkaStreamSource(
+        bootstrap_servers="broker:9092", topic="repo-cdc", event_schema=ENVELOPE
+    )
+    assert src.discover_schema() == ENVELOPE
+    # no kafka jar in this sandbox (SURVEY §7.4.1): the seam must fail
+    # with the exact remediation, not an opaque ClassNotFound at start()
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        src.read_stream(spark, ENVELOPE)
