@@ -168,6 +168,87 @@ def ann_candidate_pairs(
     )
 
 
+# ----------------------------------------------------------------- IVF (flat)
+# Coarse-quantizer ANN: assign every vector to its nearest of K centroid
+# cells (Voronoi), search only the query's nprobe nearest cells, exact
+# re-rank inside. Centroids are an INPUT (at deployment they come from an
+# offline k-means); the driver query uses seeded deterministic centroids
+# so the result is reproducible without a training step.
+IVF_CELLS = 8
+IVF_SEED = 11
+
+
+def _ivf_centroids(dim: int, k: int = IVF_CELLS) -> np.ndarray:
+    rng = np.random.default_rng(IVF_SEED)
+    c = rng.standard_normal((k, dim))
+    return (c / np.linalg.norm(c, axis=1, keepdims=True)).round(6)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, nprobe: int = 1) -> DataFrame:
+    """Append ``cells: array<int>`` — the ``nprobe`` nearest centroid ids
+    by dot product with the (unit-norm) centroids. All JVM expressions:
+    per row this is K dot products + a K-element sort, no Python, no
+    shuffle — a pure map stage at any scale."""
+    k = len(centroids)
+    dots = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in c) + ")"
+        dots.append(
+            f"named_struct('s', -aggregate(zip_with(embedding, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v), 'i', {i})"
+        )
+    expr = (
+        f"transform(slice(array_sort(array({', '.join(dots)})), 1, {nprobe}), x -> x.i)"
+    )
+    return df.withColumn("cells", F.expr(expr))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: np.ndarray, k: int, nprobe: int = 2) -> DataFrame:
+    """IVF-flat top-k: corpus vectors live in their single nearest cell;
+    each query probes its ``nprobe`` nearest cells; exact quantized cosine
+    re-ranks within the probed cells. One equi-join shuffle on cell id —
+    never an all-pairs scan; cells bound the work like LSH buckets do."""
+    cps = ivf_assign(_quantized(corpus), centroids, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col("norm2").alias("cnorm2"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    qs = ivf_assign(_quantized(queries), centroids, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+        F.explode("cells").alias("cell"),
+    )
+    dot = F.expr("aggregate(zip_with(cq, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    sim = dot.cast("double") / (
+        F.sqrt(F.col("cnorm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double"))
+    )
+    pairs = (
+        cps.join(qs, ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # nprobe cells may repeat a pair
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+@query("emb_ivf_topk")  # rows-only: seeded centroids, float dot inside assign
+def emb_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN over the embeddings table: every 100th vector queries
+    its 2 nearest of 8 cells, exact re-rank to top-5. Recall vs brute
+    force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(EMBEDDING_DIM)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, qs, cents, k=5, nprobe=2).orderBy("query_id", "rank")
+
+
 @query("emb_ann_lsh")  # rows-only: float-sum order inside the plane dot
 def emb_ann_lsh(spark, sf_dir):
     """Approximate NN via multi-table hyperplane LSH: candidates collide in

@@ -70,3 +70,45 @@ def test_brute_force_topk_matches_numpy(spark, sf_dir):
         }
         expect = [vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
         assert neighbors == expect, f"query {qid}: {neighbors} vs {expect}"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF-flat with nprobe=2 of 8 cells must recover most of the true
+    top-5 on clustered vectors (cluster members share a Voronoi cell with
+    overwhelming probability)."""
+    from etlframwork_spark.functions.similarity import _ivf_centroids, ivf_topk
+
+    rows = _clustered(n_clusters=12, per_cluster=8, dim=32, seed=5)
+    df = spark.createDataFrame(rows, SCHEMA)
+    cents = _ivf_centroids(32)
+    got = ivf_topk(df, df, cents, k=5, nprobe=2).collect()
+    by_query: dict[int, set[int]] = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    vecs = {vid: np.array(v) for vid, v in rows}
+    hits = total = 0
+    for qid, qv in vecs.items():
+        sims = {
+            vid: float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        truth = {vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]}
+        hits += len(truth & by_query.get(qid, set()))
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_assignment_is_deterministic_and_bounded(spark):
+    from etlframwork_spark.functions.similarity import IVF_CELLS, _ivf_centroids, ivf_assign
+    from etlframwork_spark.functions.similarity import _quantized as _q
+
+    rows = _clustered(n_clusters=4, per_cluster=4, dim=16, seed=9)
+    df = spark.createDataFrame(rows, SCHEMA)
+    cents = _ivf_centroids(16)
+    a1 = {r["vec_id"]: list(r["cells"]) for r in ivf_assign(_q(df), cents, nprobe=2).collect()}
+    a2 = {r["vec_id"]: list(r["cells"]) for r in ivf_assign(_q(df), cents, nprobe=2).collect()}
+    assert a1 == a2
+    for cells in a1.values():
+        assert len(cells) == 2 and all(0 <= c < IVF_CELLS for c in cells)
