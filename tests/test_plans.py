@@ -66,3 +66,27 @@ def test_topk_plans_take_ordered_no_global_sort(spark, sf_dir):
 def test_broadcast_in_cosine_topk(spark, sf_dir):
     p = _plan(QUERIES["emb_cosine_topk"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_range_join_never_plans_nested_loop(spark, sf_dir):
+    """J8's bucketed range join must ride an equi shuffle/broadcast —
+    a BroadcastNestedLoopJoin or CartesianProduct here means the theta
+    term leaked into the join strategy (quadratic at scale)."""
+    p = _plan(QUERIES["range_join_error_context"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_pipeline_no_cartesian_and_capped(spark, sf_dir):
+    p = _plan(QUERIES["docs_dedup_pipeline"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sessionize_single_sort_per_user_partitioning(spark, sf_dir):
+    """Sessionization's lag + running-sum windows share one
+    (user_id)-ordered sort — the plan must not re-sort per window."""
+    p = _plan(QUERIES["events_sessionize"](spark, sf_dir), mode="simple")
+    # both window functions evaluate inside a shared Window operator chain
+    # over a single hashpartitioning(user_id) exchange
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
