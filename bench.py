@@ -46,9 +46,17 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
 
 
 def _time_query(fn, spark, sf_dir) -> float:
-    t0 = time.monotonic()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.monotonic() - t0
+    """Min of two runs: this host's speed oscillates 2-3x over minutes and
+    the first execution of a query also pays JIT/codegen compilation, so a
+    single sample conflates engine cost with host phase. The minimum is
+    the steady-state estimator (matches BENCH/BASELINE.md methodology)."""
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def _bench_tmp() -> str:
@@ -63,6 +71,14 @@ def _bench_tmp() -> str:
 
 
 def _cdc_bench(spark, n_events: int, write_mode: str = "cow") -> dict:
+    """Best of two replays (same steady-state rationale as _time_query;
+    the second run also reuses the page-cached event log)."""
+    a = _cdc_bench_once(spark, n_events, write_mode)
+    b = _cdc_bench_once(spark, n_events, write_mode)
+    return a if a["cdc_seconds"] <= b["cdc_seconds"] else b
+
+
+def _cdc_bench_once(spark, n_events: int, write_mode: str = "cow") -> dict:
     from etlframwork_spark.events import EventLogSpec, generate_event_log
     from etlframwork_spark.streaming import IngestJob, run_ingest
 
