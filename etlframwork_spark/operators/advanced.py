@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.io import load_table
+from .cdc import _workdir
 from .registry import query
 
 # ------------------------------------------------------------------------ J8
@@ -182,6 +183,52 @@ def grouped_udaf_value_stats(spark, sf_dir):
     return ev.groupBy("event_type").applyInPandas(stats, schema=out_schema)
 
 
+# ------------------------------------------------------------------------ A6
+@query(
+    "percentiles_event_value",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vq FROM events
+    )
+    SELECT event_type,
+           quantile_cont(vq, 0.5) AS p50,
+           quantile_cont(vq, 0.9) AS p90,
+           quantile_cont(vq, 0.99) AS p99,
+           CAST(MAX(vq) AS BIGINT) AS vmax
+    FROM q GROUP BY event_type
+    """,
+)
+def percentiles_event_value(spark, sf_dir):
+    """Exact percentiles per group (A-class agg widening): Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the standard
+    (n-1)*p linear interpolation, and on integer-quantized inputs the
+    interpolation arithmetic is bit-identical in double (verified at
+    sf0.01 before shipping). The exact sort-based percentile is the
+    correctness baseline; approx_percentile (t-digest, rows-only) is the
+    scale path for wide-key cardinalities."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vq")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(vq, 0.5)").alias("p50"),
+        F.expr("percentile(vq, 0.9)").alias("p90"),
+        F.expr("percentile(vq, 0.99)").alias("p99"),
+        F.max("vq").alias("vmax"),
+    )
+
+
+@query("approx_percentiles_event_value")  # rows-only: t-digest is engine-specific
+def approx_percentiles_event_value(spark, sf_dir):
+    """approx_percentile — the constant-memory scale path for percentile
+    monitoring at 10^10 rows (exact percentile sorts each group)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vq")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(vq, array(0.5, 0.9, 0.99), 10000)").alias("approx_pcts")
+    )
+
+
 # ------------------------------------------------------------------------ D5
 @query(
     "udtf_token_explode",
@@ -217,3 +264,44 @@ def udtf_token_explode(spark, sf_dir):
     return spark.sql(
         "SELECT doc_id, t.pos, t.token FROM docs_for_udtf, LATERAL token_explode(text) t"
     )
+
+
+# ------------------------------------------------------------ source formats
+@query("source_format_roundtrip")  # rows-only: compares engine's own files
+def source_format_roundtrip(spark, sf_dir):
+    """S-class format coverage beyond parquet: the events table is written
+    once to CSV and JSON (session workdir), read back with the EXPLICIT
+    envelope schema (never inference — SURVEY §1.3), and both round-trips
+    are checksummed against the parquet original. Equal rows/checksums in
+    all three rows of the output prove the readers are lossless on every
+    column class the testdata exercises (long, double, string, timestamp)."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = ev.schema
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    work, built = _workdir(f"fmt_roundtrip_{sf_tag}")
+    csv_dir, json_dir = os.path.join(work, "csv"), os.path.join(work, "json")
+    if not built:
+        ev.write.option("header", True).mode("overwrite").csv(csv_dir)
+        ev.write.mode("overwrite").json(json_dir)
+    readers = {
+        "parquet": ev,
+        "csv": spark.read.schema(schema).option("header", True).csv(csv_dir),
+        "json": spark.read.schema(schema).json(json_dir),
+    }
+    outs = []
+    for fmt, df in readers.items():
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("sum_value_q"),
+                F.sum(F.crc32(F.col("event_type"))).alias("type_crc"),
+                F.sum(F.unix_timestamp("ts")).alias("ts_sum"),
+                F.count("props").alias("n_props"),
+            ).select(F.lit(fmt).alias("format"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("format")
