@@ -146,6 +146,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text", ngram: int = 3) -> 
 MAX_BAND_BUCKET = 1000
 
 
+def drop_hot_buckets(df: DataFrame, key_col: str, max_bucket: int) -> DataFrame:
+    """Shared bounded-worst-case policy for every bucketed candidate
+    generator (LSH bands, SimHash segments, ANN sign codes): rows whose
+    bucket key holds more than ``max_bucket`` members are excluded. The
+    over-cap key set is tiny by construction (each needs > max_bucket
+    members), so it broadcasts and the filter is a broadcast ANTI join —
+    never a broadcast of the O(corpus) occupied-bucket list."""
+    hot = F.broadcast(
+        df.groupBy(key_col).count().filter(F.col("count") > max_bucket).select(key_col)
+    )
+    return df.join(hot, key_col, "left_anti")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_BAND_BUCKET
 ) -> DataFrame:
@@ -164,10 +177,7 @@ def lsh_candidate_pairs(
         ]
     )
     e = sigs.select(F.col(id_col), "sig", F.explode(bands).alias("band_key"))
-    hot = F.broadcast(
-        e.groupBy("band_key").count().filter(F.col("count") > max_bucket).select("band_key")
-    )
-    e = e.join(hot, "band_key", "left_anti")
+    e = drop_hot_buckets(e, "band_key", max_bucket)
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -316,11 +326,15 @@ def docs_simhash(spark, sf_dir):
     return coded.join(sizes, "simhash").select("doc_id", "simhash", "bucket_size").orderBy("doc_id")
 
 
-# SimHash Hamming-<=k pairing: split the 16-bit code into SIMHASH_SEGMENTS
-# segments; by pigeonhole, two codes at Hamming distance <= k with
-# k < SIMHASH_SEGMENTS agree on at least one whole segment, so an
-# equi-join on (segment index, segment bits) finds ALL such pairs with
-# recall exactly 1 — never an all-pairs scan.
+# SimHash Hamming-<=k pairing: split the SIMHASH_BITS-bit code into
+# SIMHASH_SEGMENTS segments; by pigeonhole, two codes at Hamming distance
+# <= k with k < SIMHASH_SEGMENTS agree on at least one whole segment, so
+# an equi-join on (segment index, segment bits) finds every such pair
+# without an all-pairs scan. The pigeonhole recall guarantee holds for
+# pairs whose shared segment lands in a bucket at or below the size cap;
+# over-cap (degenerate) buckets are dropped for bounded worst-case work —
+# tests/test_dedup.py asserts exact equality with brute force below the
+# cap.
 SIMHASH_SEGMENTS = 4
 _SEG_BITS = SIMHASH_BITS // SIMHASH_SEGMENTS
 
@@ -345,10 +359,7 @@ def simhash_pairs(
         ]
     )
     e = coded.select(F.col(id_col), "simhash", F.explode(segs).alias("seg_key"))
-    hot = F.broadcast(
-        e.groupBy("seg_key").count().filter(F.col("count") > max_bucket).select("seg_key")
-    )
-    e = e.join(hot, "seg_key", "left_anti")
+    e = drop_hot_buckets(e, "seg_key", max_bucket)
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("code_a"), "seg_key")
     b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("code_b"), "seg_key")
     hamming = F.bit_count(F.expr("code_a ^ code_b"))

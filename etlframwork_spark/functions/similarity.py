@@ -147,15 +147,13 @@ def ann_candidate_pairs(
 
     Candidate generation is an equi-join on exploded sign codes (one
     shuffle, never all-pairs); buckets above ``max_bucket`` members are
-    excluded so a degenerate corpus cannot create a quadratic join group.
-    The over-cap code set is tiny by construction (each code needs >
-    max_bucket members), so the filter is a broadcast ANTI join."""
+    excluded so a degenerate corpus cannot create a quadratic join group
+    (shared policy: functions.dedup.drop_hot_buckets)."""
+    from .dedup import drop_hot_buckets
+
     coded = _quantized(hyperplane_codes(emb, dim))
     e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
-    hot = F.broadcast(
-        e.groupBy("code").count().filter(F.col("count") > max_bucket).select("code")
-    )
-    e = e.join(hot, "code", "left_anti")
+    e = drop_hot_buckets(e, "code", max_bucket)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
     b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
     dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")

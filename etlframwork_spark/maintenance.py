@@ -17,14 +17,32 @@ from pyspark.sql import functions as F
 from .table import BUCKET_COL, TOMBSTONE_COL, SnapshotTable, bucket_expr
 
 
+_MAX_RECOMPUTE = 3
+
+
 def purge_tombstones(
     spark: SparkSession, table: SnapshotTable, watermark_lsn: int
 ) -> dict:
     """Rewrite buckets containing purgeable tombstones (rows with
     ``_deleted AND lsn < watermark_lsn``); untouched buckets carry forward
     by reference. Returns counts. Safe only when the ingest checkpoint
-    guarantees no re-delivery below ``watermark_lsn``."""
+    guarantees no re-delivery below ``watermark_lsn``. Racing a concurrent
+    writer to the same buckets fails the commit (CommitConflict) and the
+    rewrite is recomputed from fresh state."""
+    from .table import CommitConflict
+
+    for attempt in range(_MAX_RECOMPUTE):
+        try:
+            return _purge_once(spark, table, watermark_lsn)
+        except CommitConflict:
+            if attempt == _MAX_RECOMPUTE - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _purge_once(spark: SparkSession, table: SnapshotTable, watermark_lsn: int) -> dict:
     table.refresh()
+    read_snapshot = table.snapshot()["snapshot_id"]
     full = table.read(spark, include_tombstones=True)
     purgeable = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) & (
         F.col(table.order_col) < F.lit(watermark_lsn)
@@ -61,6 +79,7 @@ def purge_tombstones(
         files_by_bucket,
         buckets,
         summary={"operation": "purge_tombstones", "watermark_lsn": watermark_lsn, "purged": n_purged},
+        validate_from_snapshot=read_snapshot,
     )
     return {"buckets_rewritten": len(buckets), "tombstones_purged": n_purged}
 
@@ -75,9 +94,25 @@ def compact_buckets(
     watermark-gated op) and rewritten as a single base file each; the
     replace commit clears their delta lists. Read amplification returns
     to one file per bucket; state is unchanged byte-for-byte (LWW
-    associativity), asserted in tests/test_mor.py.
+    associativity), asserted in tests/test_mor.py. Racing a concurrent
+    writer (e.g. an ingest epoch appending a delta to a bucket being
+    compacted) fails the commit (CommitConflict) and the compaction is
+    recomputed from fresh state — never silently dropping the new delta.
     """
+    from .table import CommitConflict
+
+    for attempt in range(_MAX_RECOMPUTE):
+        try:
+            return _compact_once(spark, table, min_deltas)
+        except CommitConflict:
+            if attempt == _MAX_RECOMPUTE - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _compact_once(spark: SparkSession, table: SnapshotTable, min_deltas: int) -> dict:
     table.refresh()
+    read_snapshot = table.snapshot()["snapshot_id"]
     counts = table.delta_file_counts()
     buckets = sorted(b for b, n in counts.items() if n >= min_deltas)
     if not buckets:
@@ -101,6 +136,7 @@ def compact_buckets(
         buckets,
         summary={"operation": "compact", "buckets": len(buckets), "delta_files_folded": folded},
         mode="replace",
+        validate_from_snapshot=read_snapshot,
     )
     return {"buckets_compacted": len(buckets), "delta_files_folded": folded}
 

@@ -233,6 +233,11 @@ def merge_batch(
     table.refresh()
     if table.is_fence_committed(fence):
         return {"skipped": True, "fence": fence}
+    # snapshot this cow rewrite READS from — commit validates the affected
+    # buckets are unchanged since (Iceberg-style conflict detection; a
+    # concurrent writer to the same bucket must fail the commit, not lose
+    # its rows under our rewrite)
+    read_snapshot = table.snapshot()["snapshot_id"] if write_mode == "cow" else None
 
     key_cols = table.key_cols
 
@@ -378,6 +383,7 @@ def merge_batch(
         new_schema=schema if new_cols else None,
         summary={**summary, "operation": f"merge_{write_mode}", "timings": timings},
         mode="append_delta" if write_mode == "mor" else "replace",
+        validate_from_snapshot=read_snapshot,
     )
     if snap is None:  # fence raced us — our files are orphans, vacuum later
         summary["skipped"] = True

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.io import load_table
-from .cdc import _workdir
+from .cdc import _mark_built, _workdir
 from .registry import query
 
 # ------------------------------------------------------------------------ J8
@@ -65,18 +65,25 @@ def range_join_error_context(spark, sf_dir):
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("value_q"),
         bucket.alias("tb"),
     )
-    pairs = errors.join(clicks, ["user_id", "tb"], "left").filter(
-        F.col("c_ts").isNull()
-        | (
-            (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {_WINDOW_MIN} MINUTES"))
-            & (F.col("c_ts") < F.col("e_ts"))
-        )
+    # The range predicate must live IN the left-join condition (matching
+    # the oracle's ON clause), not as a post-join filter: a filter would
+    # silently DROP an error whose bucket-joined clicks all fall outside
+    # the window (e.g. one click after the error in its bucket, one before
+    # the window in the previous bucket), where the correct result is a
+    # row with count 0. Catalyst still extracts the two equality terms as
+    # the join keys; the range term evaluates after co-location.
+    cond = (
+        (errors["user_id"] == clicks["user_id"])
+        & (errors["tb"] == clicks["tb"])
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {_WINDOW_MIN} MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
     )
+    pairs = errors.join(clicks, cond, "left")
     # the 2-bucket explode can match the same click twice only if the two
     # buckets coincide (never: b != b-1); a click pairs via exactly one
-    # bucket value, so no dedup is needed — but a qualifying error with
-    # matches in one exploded bucket and not the other must not emit a
-    # spurious null row: aggregate per error over all its exploded rows.
+    # bucket value, so no dedup is needed. Each error contributes 2
+    # exploded rows (possibly both unmatched -> nulls); the aggregate
+    # collapses them and counts only real matches.
     return pairs.groupBy("error_id").agg(
         F.count("c_ts").alias("n_clicks_before"),
         F.coalesce(F.sum("value_q"), F.lit(0)).cast("long").alias("click_value_q"),
@@ -115,12 +122,16 @@ def events_sessionize(spark, sf_dir):
     shuffle on user_id; every window reuses the same partitioning."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    prev = F.lag("ts").over(w)
+    # microsecond-exact timestamp comparison (matches the oracle's
+    # `ts - LAG(ts) > INTERVAL 30 MINUTE`); unix_timestamp() would
+    # floor to seconds and disagree on gaps in the (1800s, 1801s) band
+    is_new = F.col("ts") > prev + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")
     flagged = ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0).alias("is_start"),
+        F.when(prev.isNull() | is_new, 1).otherwise(0).alias("is_start"),
     )
     sess = flagged.withColumn(
         "session_no", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
@@ -280,11 +291,13 @@ def source_format_roundtrip(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     schema = ev.schema
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    work, built = _workdir(f"fmt_roundtrip_{sf_tag}")
+    name = f"fmt_roundtrip_{sf_tag}"
+    work, built = _workdir(name)
     csv_dir, json_dir = os.path.join(work, "csv"), os.path.join(work, "json")
     if not built:
         ev.write.option("header", True).mode("overwrite").csv(csv_dir)
         ev.write.mode("overwrite").json(json_dir)
+        _mark_built(name, work)
     readers = {
         "parquet": ev,
         "csv": spark.read.schema(schema).option("header", True).csv(csv_dir),

@@ -23,8 +23,13 @@ from ..events import EventLogSpec, generate_event_log
 from ..streaming.ingest import IngestJob, run_ingest
 from .registry import query
 
-# name -> built work dir; lives for the process, cleaned at exit.
+# name -> SUCCESSFULLY built work dir; lives for the process, cleaned at
+# exit. Registration happens only via _mark_built AFTER the build
+# completes — registering at mkdtemp time would poison every later call
+# of a query whose first build failed halfway (it would silently reuse
+# the half-built state instead of rebuilding).
 _WORKDIRS: dict[str, str] = {}
+_PENDING: list[str] = []  # dirs from failed/unfinished builds, for cleanup
 
 
 def _workdir(name: str) -> tuple[str, bool]:
@@ -32,17 +37,24 @@ def _workdir(name: str) -> tuple[str, bool]:
 
     Returns (path, already_built). The dir outlives the query call so the
     returned DataFrame stays lazily readable; it is removed at process
-    exit, not per-call."""
+    exit, not per-call. Callers MUST call ``_mark_built(name, path)`` once
+    the pipeline has been fully built in it."""
     if name in _WORKDIRS:
         return _WORKDIRS[name], True
     path = tempfile.mkdtemp(prefix=f"{name}_")
-    _WORKDIRS[name] = path
+    _PENDING.append(path)
     return path, False
+
+
+def _mark_built(name: str, path: str) -> None:
+    _WORKDIRS[name] = path
+    if path in _PENDING:
+        _PENDING.remove(path)
 
 
 @atexit.register
 def _cleanup_workdirs() -> None:
-    for path in _WORKDIRS.values():
+    for path in list(_WORKDIRS.values()) + _PENDING:
         shutil.rmtree(path, ignore_errors=True)
 
 
@@ -69,7 +81,9 @@ def _replayed_table(spark, name: str, write_mode: str):
     )
     if not built:
         generate_event_log(job.events_dir, EventLogSpec(**_REPLAY_SPEC))
-        return run_ingest(spark, job)
+        table = run_ingest(spark, job)
+        _mark_built(name, work)
+        return table
     from ..table import SnapshotTable
 
     return SnapshotTable.load(job.table_root)
@@ -125,6 +139,7 @@ def cdc_incremental_changes(spark, sf_dir):
         )
         merge_batch(spark, table, spark.createDataFrame(pdf.iloc[:1500], schema=CDC_BASE_SCHEMA), epoch_id=0)
         merge_batch(spark, table, spark.createDataFrame(pdf.iloc[1500:], schema=CDC_BASE_SCHEMA), epoch_id=1)
+        _mark_built("cdc_changes", work)
     else:
         table = SnapshotTable.load(root)
     snaps = sorted(s["snapshot_id"] for s in table.meta["snapshots"])
@@ -176,6 +191,7 @@ def cdc_quarantine_stats(spark, sf_dir):
             spark, table, spark.createDataFrame(rows, schema=loose),
             epoch_id=0, quarantine_dir=qdir,
         )
+        _mark_built("cdc_quarantine", work)
     else:
         table = SnapshotTable.load(root)
     quarantined = (
@@ -213,6 +229,7 @@ def cdc_lineage_rollup(spark, sf_dir):
         spec = EventLogSpec(seed=17, n_events=2000, n_repos=20, paths_per_repo=8, n_files=4)
         generate_event_log(job.events_dir, spec)
         run_ingest(spark, job)
+        _mark_built("cdc_lineage", work)
     lin = spark.read.parquet(os.path.join(work, "metrics", "lineage"))
     return (
         lin.groupBy("epoch_id", "snapshot_id")

@@ -69,6 +69,14 @@ class VersionConflict(Exception):
     optimistic concurrency exactly like Iceberg's metadata CAS."""
 
 
+class CommitConflict(Exception):
+    """A replace commit raced a concurrent change to one of its buckets.
+
+    The rewrite was computed from data that no longer reflects the bucket
+    (e.g. a delta appended between read and publish); re-applying it would
+    drop those rows. The caller must recompute from fresh table state."""
+
+
 _MAX_COMMIT_RETRIES = 16
 
 
@@ -351,6 +359,7 @@ class SnapshotTable:
         new_schema: StructType | None = None,
         summary: dict[str, Any] | None = None,
         mode: str = "replace",
+        validate_from_snapshot: int | None = None,
     ) -> dict[str, Any] | None:
         """Atomically commit a new snapshot.
 
@@ -365,17 +374,38 @@ class SnapshotTable:
 
         Returns the new snapshot dict, or ``None`` when ``fence`` was
         already committed (idempotent re-delivery short-circuit).
+
+        Conflict semantics (Iceberg-style validation): a ``replace`` commit
+        rewrites buckets from data it READ at some snapshot; if any of its
+        buckets changed since (a concurrent delta append or another
+        rewrite), publishing it would clear or supersede files whose rows
+        this rewrite never saw — silent data loss. Callers that read table
+        state to compute the rewrite pass ``validate_from_snapshot`` (the
+        snapshot id they read from); commit raises :class:`CommitConflict`
+        when a validated bucket differs from that snapshot, including
+        changes that landed BEFORE the first CAS attempt. Without the
+        parameter, validation still covers the refresh-and-retry window.
+        ``append_delta`` commits are append-only and always safe to
+        (re-)apply.
         """
         if mode not in ("replace", "append_delta"):
             raise ValueError(f"unknown commit mode {mode!r}")
         changed_buckets = list(changed_buckets)  # may be re-iterated on retry
-        # Optimistic concurrency: assemble against the freshest metadata and
-        # CAS-publish; a VersionConflict means another writer won this
-        # version, so refresh (picking up their snapshot AND their fences —
-        # the fence re-check makes racing duplicate epochs still exactly
-        # once) and re-apply.
+        baseline: dict[str, Any] | None = None
+        if validate_from_snapshot is not None and mode == "replace":
+            baseline = self._bucket_state(changed_buckets, validate_from_snapshot)
         for _attempt in range(_MAX_COMMIT_RETRIES):
             try:
+                self.refresh()
+                state = self._bucket_state(changed_buckets)
+                if baseline is None:
+                    baseline = state
+                elif mode == "replace" and state != baseline:
+                    raise CommitConflict(
+                        f"buckets {sorted(set(changed_buckets))} changed under this "
+                        "replace commit (concurrent writer); the rewrite was computed "
+                        "from stale data — recompute and retry"
+                    )
                 return self._commit_once(
                     changed_files_by_bucket, changed_buckets, fence, new_schema, summary, mode
                 )
@@ -384,6 +414,19 @@ class SnapshotTable:
         raise VersionConflict(
             f"commit lost the metadata CAS {_MAX_COMMIT_RETRIES} times in a row"
         )
+
+    def _bucket_state(self, buckets: list[int], snapshot_id: int | None = None) -> dict[str, Any]:
+        """(base files, delta files) of the given buckets at a snapshot —
+        the validation footprint for replace-commit conflicts."""
+        snap = self.snapshot(snapshot_id)
+        out: dict[str, Any] = {}
+        for b in buckets:
+            bs = str(int(b))
+            out[bs] = (
+                tuple(snap["files"].get(bs, ())),
+                tuple(snap.get("delta_files", {}).get(bs, ())),
+            )
+        return out
 
     def _commit_once(
         self,
@@ -394,7 +437,10 @@ class SnapshotTable:
         summary: dict[str, Any] | None,
         mode: str,
     ) -> dict[str, Any] | None:
-        self.refresh()
+        # NOTE: caller (the retry loop) has already refreshed and validated
+        # against THIS metadata state; refreshing again here would open a
+        # validation race. Anything that lands between this state and our
+        # publish is caught by the _write_version CAS.
         if fence is not None and self.is_fence_committed(fence):
             return None
 

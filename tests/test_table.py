@@ -216,3 +216,40 @@ def test_mor_read_resolves_only_delta_buckets(tmp_path, spark):
     got = {(r["repo"], r["path"]): r["content"] for r in df.collect()}
     assert got[("r0", "f0.py")] == "v0-new"
     assert len(got) == 40
+
+
+def test_replace_commit_conflicts_with_concurrent_delta(tmp_path, spark):
+    """Iceberg-style validation: a replace (compaction/cow rewrite)
+    computed from snapshot S must FAIL if the bucket gained a delta after
+    S — blindly publishing would drop the delta's rows. The recompute
+    path (maintenance.compact_buckets) then folds the new delta too."""
+    from etlframwork_spark.events import CDC_BASE_SCHEMA
+    from etlframwork_spark.maintenance import compact_buckets
+    from etlframwork_spark.merge import merge_batch
+    from etlframwork_spark.table import CommitConflict
+
+    t1 = _mk(tmp_path)
+    ins = [("insert", 1, "r", "p", "c1", "v1")]
+    merge_batch(spark, t1, spark.createDataFrame(ins, schema=CDC_BASE_SCHEMA),
+                job_id="a", epoch_id=0, write_mode="mor")
+    t1.refresh()
+    s_read = t1.snapshot()["snapshot_id"]
+    bucket = next(iter(t1.delta_file_counts()))
+    # concurrent writer appends another delta to the SAME bucket
+    t2 = SnapshotTable.load(t1.root)
+    upd = [("update", 2, "r", "p", "c2", "v2")]
+    merge_batch(spark, t2, spark.createDataFrame(upd, schema=CDC_BASE_SCHEMA),
+                job_id="b", epoch_id=0, write_mode="mor")
+    # t1's stale rewrite (it only saw lsn 1) must not clear lsn 2's delta
+    f = os.path.join(t1.root, "data", "stale", "f.parquet")
+    _write_parquet(
+        f,
+        [{"repo": "r", "path": "p", "commit": "c1", "content": "v1", "lsn": 1, "content_sha256": "s"}],
+        ARROW_BASE,
+    )
+    with pytest.raises(CommitConflict):
+        t1.commit({bucket: [f]}, [bucket], mode="replace", validate_from_snapshot=s_read)
+    # the supported path recomputes from fresh state: nothing lost
+    compact_buckets(spark, t1, min_deltas=1)
+    rows = {r["content"] for r in t1.read(spark).collect()}
+    assert rows == {"v2"}
