@@ -54,3 +54,25 @@ def test_kafka_source_schema_and_actionable_failure(spark):
     # with the exact remediation, not an opaque ClassNotFound at start()
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         src.read_stream(spark, ENVELOPE)
+
+
+def test_stream_auto_expires_metadata(spark, tmp_path):
+    """expire_every inside the stream keeps snapshot metadata bounded
+    without any manual maintenance call."""
+    spec = EventLogSpec(seed=13, n_events=1200, n_repos=10, paths_per_repo=5, n_files=8)
+    events = str(tmp_path / "events")
+    generate_event_log(events, spec)
+    job = IngestJob(
+        job_id="autoexpire",
+        events_dir=events,
+        table_root=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "c"),
+        num_buckets=4,
+        max_files_per_trigger=1,  # 8 epochs
+        expire_every=3,
+        keep_snapshots=2,
+    )
+    table = run_ingest(spark, job)
+    # 8 commits happened, but expiry at epochs 3 and 6 trimmed history
+    assert len(table.meta["snapshots"]) <= 2 + 2  # kept + commits since last expiry
+    assert table.read(spark).count() > 0
