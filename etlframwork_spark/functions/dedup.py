@@ -293,6 +293,104 @@ def docs_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
+# -------------------------------------------- cluster representatives (CC)
+def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a (near-dup) pair graph via iterative
+    min-label propagation: every node ends labeled with the smallest id
+    reachable from it — the cluster representative the dedup KEEPS.
+
+    Scale shape: all iterations join only the PAIR GRAPH (candidates that
+    survived verification — orders of magnitude smaller than the corpus;
+    dup clusters are tiny, so convergence takes ~diameter iterations).
+    Each round localCheckpoints the label frame so the plan stays flat.
+    The driver-side loop runs a count() per round (an aggregate action,
+    not a row materialization) and stops at fixpoint."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nmin = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nmin, labels["node"] == nmin["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "docs_dedup_keepers",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ), d AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM t
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_rep,
+           CAST(node = MIN(label) AS BOOLEAN) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def docs_dedup_keepers(spark, sf_dir):
+    """THE dedup decision: near-dup pairs (MinHash -> LSH -> exact verify,
+    jaccard >= 0.7) -> connected components -> keep the min doc_id per
+    cluster. The DuckDB oracle recomputes the same representatives by
+    brute-force pairs + a recursive transitive closure, so candidate
+    recall, verification AND the component labeling are all checked."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(d)
+    cands = lsh_candidate_pairs(sigs).select("id_a", "id_b")
+    pairs = (
+        verify_pairs_exact(cands, shingle_sets(d))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    labels = connected_min_labels(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------------- SimHash
 # 32 bits: 16 was too coarse for a homogeneous corpus (a quarter of ALL
 # pairs landed within Hamming 3 of each other on the driver testdata —

@@ -141,3 +141,16 @@ def test_simhash_exact_and_near(spark):
     from etlframwork_spark.functions.dedup import SIMHASH_BITS
 
     assert sum(dists) / len(dists) <= SIMHASH_BITS / 4, f"mean hamming {sum(dists)/len(dists)}"
+
+
+def test_connected_min_labels_chain_and_clusters(spark):
+    """Label propagation must reach the min id across a CHAIN (worst-case
+    diameter), not just direct pairs."""
+    from etlframwork_spark.functions.dedup import connected_min_labels
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (11, 12)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["label"] for r in connected_min_labels(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
