@@ -34,9 +34,9 @@ HEADLINE = [
     "json_extract_events",
     "docs_token_stats",
     "docs_exact_dedup",
-    "docs_minhash_lsh",
+    "docs_dedup_keepers",
     "docs_dedup_pipeline",
-    "docs_fingerprint",
+    "docs_quality_fingerprint",
     "emb_cosine_topk",
     "emb_ann_lsh",
     "multimodal_feature_extract",

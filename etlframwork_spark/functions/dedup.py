@@ -283,11 +283,14 @@ def docs_dedup_pipeline(spark, sf_dir):
     )
 
 
-@query("docs_minhash_lsh")  # xxhash64-based -> rows-only driver check
 def docs_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (shingle -> minhash -> band ->
     bucket-join). Deterministic given the fixed permutation constants;
-    recall vs exact Jaccard is asserted in tests/test_dedup.py."""
+    recall vs exact Jaccard is asserted in tests/test_dedup.py.
+
+    NOT driver-registered: subsumed by docs_dedup_pipeline (same candidate
+    generation plus the exact-verify leg and a brute-force DuckDB twin) —
+    the registry is capped at 50 so every entry gets a CORRECTNESS row."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = minhash_signature(d)
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
@@ -414,10 +417,12 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", code.cast("long")).drop("_h")
 
 
-@query("docs_simhash")  # rows-only (xxhash64-based)
 def docs_simhash(spark, sf_dir):
     """SimHash codes + bucket sizes: docs sharing a code are near-dup
-    candidates at Hamming distance 0."""
+    candidates at Hamming distance 0.
+
+    NOT driver-registered: subsumed by docs_simhash_pairs (same codes,
+    strictly stronger Hamming-<=3 banding) — registry capped at 50."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     coded = simhash(d)
     sizes = coded.groupBy("simhash").agg(F.count(F.lit(1)).alias("bucket_size"))

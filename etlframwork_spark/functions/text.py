@@ -69,14 +69,15 @@ def docs_token_stats(spark, sf_dir):
     )
 
 
-# -------------------------------------------------------------- quality score
+# ----------------------------------------- quality score + fingerprint
 @query(
-    "docs_quality_score",
+    "docs_quality_fingerprint",
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
                regexp_split_to_array(trim(text), '\s+') AS _tokens,
-               length(text) AS n_chars
+               length(text) AS n_chars,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS _norm
         FROM documents
     )
     SELECT doc_id,
@@ -87,18 +88,26 @@ def docs_token_stats(spark, sf_dir):
                / len(_tokens) AS stopword_ratio,
            CAST(len(list_filter(_tokens, t -> length(t) > 2)) AS DOUBLE)
                / len(_tokens) AS long_token_ratio,
-           CASE WHEN len(_tokens) BETWEEN 5 AND 10000 AND n_chars >= 20 THEN 1 ELSE 0 END AS quality_ok
+           CASE WHEN len(_tokens) BETWEEN 5 AND 10000 AND n_chars >= 20 THEN 1 ELSE 0 END AS quality_ok,
+           md5(_norm) AS fp,
+           length(_norm) AS norm_len
     FROM t
     """,
 )
-def docs_quality_score(spark, sf_dir):
-    """Per-document quality signals: length, stopword ratio, token shape.
-    Ratios are int/int divisions — IEEE-identical across engines."""
+def docs_quality_fingerprint(spark, sf_dir):
+    """Per-document quality signals (length, stopword ratio, token shape)
+    plus the canonical-form fingerprint (lowercase, collapse whitespace,
+    md5 — the exact-dedup key at corpus scale). One map-only pass; ratios
+    are int/int divisions — IEEE-identical across engines. (Round-3 fold
+    of the former docs_quality_score + docs_fingerprint queries: same
+    granularity, same table, one registry slot — registry capped at 50.)"""
     d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     t = d.select(
         "doc_id",
         F.expr(_tokens_expr()).alias("_tokens"),
         F.length("text").alias("n_chars"),
+        norm.alias("_norm"),
     )
     n_tokens = F.size("_tokens")
     return t.select(
@@ -111,6 +120,8 @@ def docs_quality_score(spark, sf_dir):
             "long_token_ratio"
         ),
         F.when((n_tokens.between(5, 10000)) & (F.col("n_chars") >= 20), 1).otherwise(0).alias("quality_ok"),
+        F.md5("_norm").alias("fp"),
+        F.length("_norm").cast("long").alias("norm_len"),
     )
 
 
@@ -170,18 +181,10 @@ def docs_language_id(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- fingerprint
-@query(
-    "docs_fingerprint",
-    oracle=r"""
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
-           length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_len
-    FROM documents
-    """,
-)
 def docs_fingerprint(spark, sf_dir):
     """Canonical-form document fingerprint: lowercase, collapse whitespace,
-    md5 — the exact-dedup key at corpus scale."""
+    md5 — the exact-dedup key at corpus scale. NOT driver-registered:
+    folded into docs_quality_fingerprint (registry capped at 50)."""
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return d.select("doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len"))

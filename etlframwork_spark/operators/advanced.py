@@ -228,15 +228,24 @@ def percentiles_event_value(spark, sf_dir):
     )
 
 
-@query("approx_percentiles_event_value")  # rows-only: t-digest is engine-specific
-def approx_percentiles_event_value(spark, sf_dir):
-    """approx_percentile — the constant-memory scale path for percentile
-    monitoring at 10^10 rows (exact percentile sorts each group)."""
+@query("approx_sketches_events")  # rows-only: HLL + t-digest are engine-specific
+def approx_sketches_events(spark, sf_dir):
+    """The constant-memory sketch aggregates — the scale path for
+    monitoring at 10^10 rows where exact variants sort or hash the world:
+    approx_count_distinct (HLL, A3) and approx_percentile (A6) in one
+    pass. Sketch estimates are engine-specific, so the driver records a
+    rows-only check; the exact twins (distinct_counts,
+    percentiles_event_value) are the hash-checked baselines. Percentiles
+    are emitted as SCALAR p50/p90/p99 columns — the driver's canonicalizer
+    hashes scalars, not arrays (round-2 finding)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vq")
+        "event_type", "user_id", F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vq")
     )
     return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(vq, array(0.5, 0.9, 0.99), 10000)").alias("approx_pcts")
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.expr("approx_percentile(vq, 0.5, 10000)").cast("double").alias("p50"),
+        F.expr("approx_percentile(vq, 0.9, 10000)").cast("double").alias("p90"),
+        F.expr("approx_percentile(vq, 0.99, 10000)").cast("double").alias("p99"),
     )
 
 

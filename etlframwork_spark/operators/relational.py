@@ -292,21 +292,11 @@ def lww_dedup_events(spark, sf_dir):
     """,
 )
 def distinct_counts(spark, sf_dir):
-    """Exact count-distinct per group (approx_count_distinct is exercised
-    rows-only in approx_distinct_users below)."""
+    """Exact count-distinct per group (the approx/HLL variant is exercised
+    rows-only in operators.advanced.approx_sketches_events)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
-    )
-
-
-@query("approx_distinct_users")  # rows-only: HLL sketches are engine-specific
-def approx_distinct_users(spark, sf_dir):
-    """approx_count_distinct (HLL) — the at-scale variant of A3; the sketch
-    estimate is engine-specific so the driver records a rows-only check."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
     )
 
 

@@ -135,6 +135,17 @@ def test_rows_only_queries_run_and_are_deterministic(spark, sf_dir, name):
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2)), f"{name}: nondeterministic"
 
 
+def test_registry_fits_driver_window():
+    """Round-2 finding: the driver ran only the FIRST 50 registered
+    queries, so 4 (incl. an oracle-paired one) never got a CORRECTNESS
+    row. Pin the cap and pin that the once-missed multimodal/similarity
+    queries register well inside any 50-query window."""
+    names = list(QUERIES)
+    assert len(names) <= 50, f"registry has {len(names)} queries; driver window is 50"
+    for q in ("multimodal_blob_metadata", "multimodal_feature_extract", "emb_ivf_topk", "emb_ann_lsh"):
+        assert names.index(q) < 45, f"{q} registers at {names.index(q)} — too close to the window edge"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as se
 
