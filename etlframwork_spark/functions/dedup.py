@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..operators.registry import query
 from ..sources.io import load_table
@@ -52,39 +53,65 @@ def docs_exact_dedup(spark, sf_dir):
 
 
 # ----------------------------------------------------- bounded n-gram jaccard
+# Document-frequency cap on the inverted index: a word present in more
+# than DF_CAP docs of one source (a stopword for that source) is dropped
+# from BOTH the intersection and the vocabulary before pairing. Without
+# it, "the" lands every same-source doc in one join group and the
+# per-key cross product is enumerated BEFORE the id-window predicate
+# prunes — invisible at sf0.01, the slowest stage at 100x, quadratic at
+# corpus scale (round-2 verdict). 20 exercises the cap on the driver
+# corpus (25-doc sources, hottest words df=24); production would scale it
+# with source size the way MAX_BAND_BUCKET caps band buckets.
+DF_CAP = 20
+
+
 @query(
     "docs_ngram_jaccard",
-    oracle=r"""
+    oracle=rf"""
     WITH d AS (
         SELECT doc_id, source,
                list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS words
         FROM documents
     ), e AS (
-        SELECT doc_id, source, len(words) AS nw, unnest(words) AS word FROM d
+        SELECT doc_id, source, unnest(words) AS word FROM d
+    ), e2 AS (
+        SELECT doc_id, source, word FROM e
+        QUALIFY COUNT(*) OVER (PARTITION BY source, word) <= {DF_CAP}
+    ), nw AS (
+        SELECT doc_id, COUNT(*) AS nw FROM e2 GROUP BY doc_id
+    ), p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM e2 a JOIN e2 b
+          ON a.word = b.word AND a.source = b.source
+         AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 40
+        GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           COUNT(*) AS n_common,
-           a.nw AS nw_a, b.nw AS nw_b,
-           CAST(COUNT(*) AS DOUBLE) / (a.nw + b.nw - COUNT(*)) AS jaccard
-    FROM e a JOIN e b
-      ON a.word = b.word AND a.source = b.source
-     AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 40
-    GROUP BY a.doc_id, b.doc_id, a.nw, b.nw
-    HAVING CAST(COUNT(*) AS DOUBLE) / (a.nw + b.nw - COUNT(*)) >= 0.2
+    SELECT p.id_a, p.id_b, p.n_common,
+           na.nw AS nw_a, nb.nw AS nw_b,
+           CAST(p.n_common AS DOUBLE) / (na.nw + nb.nw - p.n_common) AS jaccard
+    FROM p JOIN nw na ON p.id_a = na.doc_id JOIN nw nb ON p.id_b = nb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (na.nw + nb.nw - p.n_common) >= 0.2
     """,
 )
 def docs_ngram_jaccard(spark, sf_dir):
-    """Word-set Jaccard similarity over a bounded candidate window (same
-    source, id distance <= 40) — the exact-verify kernel that LSH methods
-    narrow to. Explode + equi-join + count; int/int jaccard is IEEE-stable."""
+    """Word-set Jaccard over a bounded candidate window (same source, id
+    distance <= 40) — the exact-verify kernel that LSH methods narrow to —
+    computed over the DF-CAPPED vocabulary: per-source stopwords (df >
+    DF_CAP) are dropped from index and vocabulary before pairing, so no
+    join group exceeds DF_CAP docs and the per-key cross product is
+    bounded at any corpus size. The DuckDB oracle applies the identical
+    cap. Explode + window cap + equi-join + count; int/int jaccard is
+    IEEE-stable."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.array_distinct(F.expr(r"split(trim(lower(text)), '\\s+')")).alias("words"),
     )
-    e = d.select("doc_id", "source", F.size("words").alias("nw"), F.explode("words").alias("word"))
-    a, b = e.alias("a"), e.alias("b")
-    j = (
+    e = d.select("doc_id", "source", F.explode("words").alias("word"))
+    e2 = drop_hot_buckets(e, ["source", "word"], DF_CAP)
+    nw = e2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    a, b = e2.alias("a"), e2.alias("b")
+    p = (
         a.join(
             b,
             (F.col("a.word") == F.col("b.word"))
@@ -92,18 +119,17 @@ def docs_ngram_jaccard(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.doc_id") <= F.col("a.doc_id") + 40),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.nw").cast("long").alias("nw_a"),
-            F.col("b.nw").cast("long").alias("nw_b"),
-        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    na = nw.select(F.col("doc_id").alias("id_a"), F.col("nw").alias("nw_a"))
+    nb = nw.select(F.col("doc_id").alias("id_b"), F.col("nw").alias("nw_b"))
+    j = p.join(na, "id_a").join(nb, "id_b")
     jac = F.col("n_common").cast("double") / (F.col("nw_a") + F.col("nw_b") - F.col("n_common"))
-    return j.select("id_a", "id_b", "n_common", "nw_a", "nw_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.2
-    )
+    return j.select(
+        "id_a", "id_b", "n_common", F.col("nw_a").cast("long").alias("nw_a"),
+        F.col("nw_b").cast("long").alias("nw_b"), jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.2)
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -146,17 +172,27 @@ def minhash_signature(df: DataFrame, text_col: str = "text", ngram: int = 3) -> 
 MAX_BAND_BUCKET = 1000
 
 
-def drop_hot_buckets(df: DataFrame, key_col: str, max_bucket: int) -> DataFrame:
+def drop_hot_buckets(df: DataFrame, key_cols: str | list[str], max_bucket: int) -> DataFrame:
     """Shared bounded-worst-case policy for every bucketed candidate
-    generator (LSH bands, SimHash segments, ANN sign codes): rows whose
-    bucket key holds more than ``max_bucket`` members are excluded. The
-    over-cap key set is tiny by construction (each needs > max_bucket
-    members), so it broadcasts and the filter is a broadcast ANTI join —
-    never a broadcast of the O(corpus) occupied-bucket list."""
-    hot = F.broadcast(
-        df.groupBy(key_col).count().filter(F.col("count") > max_bucket).select(key_col)
+    generator (LSH bands, SimHash segments, ANN sign codes, word inverted
+    indexes): rows whose bucket key holds more than ``max_bucket`` members
+    are excluded.
+
+    Implementation is a WINDOW count over the bucket key — ONE shuffle on
+    the key the downstream self-join needs anyway, so the join's exchange
+    is reused and the input is computed exactly once. (Round 2 used
+    groupBy-count + broadcast anti join: that recomputed the exploded
+    input — for ANN, every hyperplane dot product — and added a second
+    aggregate exchange; it showed up as a +22% regression on emb_ann_lsh.)
+    A degenerate mega-bucket buffers in WindowExec's spill-backed sorter
+    before being dropped — bounded disk, never OOM, never quadratic."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
     )
-    return df.join(hot, key_col, "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -164,11 +200,10 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures (BAND_ROWS rows/band) and emit candidate pairs
     that collide in >=1 band, with their estimated jaccard (fraction of
-    equal signature slots). One shuffle on band keys; no quadratic scan.
-    Buckets over ``max_bucket`` members are excluded (bounded worst case);
-    the over-cap bucket set is tiny by construction (each needs > max_bucket
-    members), so it broadcasts and the filter is a broadcast ANTI join —
-    never a broadcast of the O(corpus) occupied-bucket list."""
+    equal signature slots). One shuffle on band keys (the hot-bucket cap
+    is a window count on the SAME partitioning — no extra aggregate pass);
+    no quadratic scan. Buckets over ``max_bucket`` members are excluded
+    (bounded worst case)."""
     nbands = NUM_PERM // BAND_ROWS
     bands = F.array(
         *[
@@ -298,16 +333,25 @@ def docs_minhash_lsh(spark, sf_dir):
 
 # -------------------------------------------- cluster representatives (CC)
 def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Connected components over a (near-dup) pair graph via iterative
-    min-label propagation: every node ends labeled with the smallest id
-    reachable from it — the cluster representative the dedup KEEPS.
+    """Connected components over a (near-dup) pair graph: every node ends
+    labeled with the smallest id reachable from it — the cluster
+    representative the dedup KEEPS.
+
+    Each round does min-label propagation along edges PLUS a
+    pointer-jumping shortcut (label := label's label — every label is
+    itself a node, so the lookup always hits), which doubles the distance
+    information travels per round: convergence is O(log diameter), so a
+    chain of near-dups 1000 docs long converges in ~10 rounds, not 1000
+    (round-2 advice: propagation alone silently mislabeled any component
+    with diameter > max_iters).
 
     Scale shape: all iterations join only the PAIR GRAPH (candidates that
-    survived verification — orders of magnitude smaller than the corpus;
-    dup clusters are tiny, so convergence takes ~diameter iterations).
+    survived verification — orders of magnitude smaller than the corpus).
     Each round localCheckpoints the label frame so the plan stays flat.
     The driver-side loop runs a count() per round (an aggregate action,
-    not a row materialization) and stops at fixpoint."""
+    not a row materialization) and stops at fixpoint; if the fixpoint is
+    NOT reached within ``max_iters`` this RAISES instead of returning
+    silently-wrong labels."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
@@ -316,18 +360,22 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    changed = None
     for _ in range(max_iters):
         nmin = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        prop = labels.join(nmin, labels["node"] == nmin["src"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: follow one more hop through the label table
+        lookup = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
         new_labels = (
-            labels.join(nmin, labels["node"] == nmin["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
+            prop.join(lookup, prop["label"] == lookup["_ln"], "left")
+            .select("node", F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -339,6 +387,12 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_min_labels did not converge in {max_iters} rounds "
+            f"({changed} labels still moving) — the dup-pair graph has a "
+            f"component of diameter > 2^{max_iters}; raise max_iters"
+        )
     return labels
 
 
@@ -401,12 +455,31 @@ def docs_dedup_keepers(spark, sf_dir):
 SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append a ``simhash`` int column: sign-aggregated shingle-hash bits.
-    JVM-side: one aggregate per bit over the shingle-hash array."""
-    df = df.withColumn(
-        "_h", F.expr(rf"transform(split(trim(lower({text_col})), '\\s+'), t -> xxhash64(t))")
-    )
+def simhash(df: DataFrame, text_col: str = "text", ngram: int = 1) -> DataFrame:
+    """Append a ``simhash`` int column: sign-aggregated token-hash bits.
+
+    ``ngram`` selects the feature unit. The default is UNIGRAM tokens — a
+    deliberate, measured choice (round-2 review asked whether this should
+    be MinHash's 3-gram shingles): with ``ngram=3`` a single token edit
+    perturbs 3 shingles, tripling the bit noise per edit, and planted
+    near-dup recall at Hamming<=3 drops from >=0.6 to 0.27 on the test
+    corpus (tests/test_dedup.py). Shingles buy word-order discrimination
+    (precision); unigrams buy edit tolerance (recall) — for a near-dup
+    FINDER the recall side wins. JVM-side: one aggregate per bit over the
+    feature-hash array."""
+    tokens = F.expr(rf"split(trim(lower({text_col})), '\\s+')")
+    if ngram == 1:
+        df = df.withColumn("_h", F.expr(rf"transform(split(trim(lower({text_col})), '\\s+'), t -> xxhash64(t))"))
+    else:
+        df = df.withColumn("_tokens", tokens)
+        shingles = F.when(
+            F.size("_tokens") >= ngram,
+            F.expr(
+                f"transform(sequence(0, size(_tokens) - {ngram}), i -> "
+                f"xxhash64(concat_ws(' ', slice(_tokens, i + 1, {ngram}))))"
+            ),
+        ).otherwise(F.expr("array(xxhash64(concat_ws(' ', _tokens)))"))
+        df = df.withColumn("_h", shingles).drop("_tokens")
     bit_sum = [
         F.expr(f"aggregate(_h, 0L, (acc, h) -> acc + 2 * ((h >> {i}) & 1) - 1)") for i in range(SIMHASH_BITS)
     ]
@@ -451,7 +524,8 @@ def simhash_pairs(
     """Candidate pairs within Hamming distance ``max_hamming`` of each
     other (``coded`` needs columns (id_col, simhash)). Guaranteed-recall
     segment banding + exact bit_count(xor) verify; over-cap segment
-    buckets are dropped via a broadcast anti join (bounded worst case)."""
+    buckets are dropped via the shared window-count cap (bounded worst
+    case, one shuffle on the segment key)."""
     if max_hamming >= SIMHASH_SEGMENTS:
         raise ValueError("pigeonhole guarantee needs max_hamming < SIMHASH_SEGMENTS")
     mask = (1 << _SEG_BITS) - 1

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from etlframwork_spark.functions.dedup import (
     NUM_PERM,
     lsh_candidate_pairs,
@@ -105,6 +107,48 @@ def test_simhash_pairs_hamming_banding_recall(spark):
     assert recall >= 0.6, f"simhash near-dup recall {recall:.2f}"
 
 
+def test_simhash_shingle_variant_trades_recall_for_precision(spark):
+    """Pin the measured reason simhash defaults to UNIGRAM features: with
+    3-gram shingles a single token edit perturbs 3 features, so planted
+    near-dup recall at Hamming<=3 drops well below the unigram default
+    (0.27 vs >=0.6 when measured in round 3)."""
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    planted = {(i, 1000 + i) for i in range(30)}
+
+    def recall(ngram):
+        coded = simhash(df, ngram=ngram)
+        got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(coded).collect()}
+        return len(planted & got) / len(planted)
+
+    r_uni, r_shingle = recall(1), recall(3)
+    assert r_uni >= 0.6
+    assert r_shingle < r_uni, f"shingle recall {r_shingle} vs unigram {r_uni}"
+
+
+def test_ngram_jaccard_df_cap_bounds_stopword_groups(spark):
+    """A stopword-heavy degenerate corpus must NOT enumerate a quadratic
+    join group: words over the per-source document-frequency cap are
+    dropped from index AND vocabulary before pairing (round-2 verdict:
+    the raw-word join group for 'the' was the scale killer)."""
+    from etlframwork_spark.functions.dedup import drop_hot_buckets
+
+    # 200 docs, every one contains 'the the the'; unique tail words
+    docs = [(i, "s0", f"the the the unique{i} tail{i}") for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    e = df.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(F.expr(r"split(trim(lower(text)), '\\s+')"))).alias("word"),
+    )
+    capped = drop_hot_buckets(e, ["source", "word"], 20)
+    # 'the' (df=200 > 20) is gone; unique words (df=1) survive
+    assert capped.filter(F.col("word") == "the").count() == 0
+    assert capped.count() == 400  # 2 unique words per doc
+    # and no surviving (source, word) group exceeds the cap
+    mx = capped.groupBy("source", "word").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 20
+
+
 def test_lsh_hot_bucket_cap_bounds_join_groups(spark):
     """A degenerate corpus (hundreds of identical docs) must NOT produce a
     quadratic join group: over-cap band buckets are dropped entirely."""
@@ -154,3 +198,27 @@ def test_connected_min_labels_chain_and_clusters(spark):
     )
     got = {r["node"]: r["label"] for r in connected_min_labels(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_min_labels_long_chain_converges_log_rounds(spark):
+    """Pointer jumping makes convergence O(log diameter): a 40-node chain
+    (diameter 39) must converge well inside the default 20 rounds —
+    round-2 advice flagged that plain propagation silently mislabels any
+    component with diameter > max_iters."""
+    from etlframwork_spark.functions.dedup import connected_min_labels
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    got = {r["node"]: r["label"] for r in connected_min_labels(chain, max_iters=9).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_connected_min_labels_raises_on_non_convergence(spark):
+    """Exhausting max_iters with labels still moving must RAISE, never
+    return silently-wrong cluster representatives."""
+    import pytest
+
+    from etlframwork_spark.functions.dedup import connected_min_labels
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_min_labels(chain, max_iters=2)
