@@ -167,7 +167,12 @@ class MetricsTable:
         _append(self.epochs_dir, EPOCH_METRICS_SCHEMA, [row])
 
     def read_epochs(self, spark):
-        return spark.read.parquet(self.epochs_dir)
+        # mergeSchema: EPOCH_METRICS_SCHEMA gained mid-schema columns in
+        # round 2; a metrics dir written before that holds mixed parquet
+        # schemas, and a plain read would silently drop the new columns
+        # (round-2 advice). Metrics dirs are tiny — the footer merge cost
+        # is irrelevant.
+        return spark.read.option("mergeSchema", "true").parquet(self.epochs_dir)
 
     def read_lineage(self, spark):
-        return spark.read.parquet(self.lineage_dir)
+        return spark.read.option("mergeSchema", "true").parquet(self.lineage_dir)

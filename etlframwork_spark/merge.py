@@ -127,8 +127,20 @@ def _resolve_maxby(
     return unioned.groupBy(*key_cols).agg(winner).select("_w.*")
 
 
+# Winner-set size above which _resolve_two_phase abandons the broadcast
+# semi join and falls back to maxby: broadcasting ~120B/winner, 2M rows is
+# ~240MB on the driver AND every executor — past that the "minimal payload
+# movement" trade inverts into an OOM risk. LWW associativity makes the
+# fallback state-identical (tests/test_merge.py pins the digest).
+TWO_PHASE_MAX_BROADCAST_ROWS = 2_000_000
+
+
 def _resolve_two_phase(
-    unioned: DataFrame, key_cols: list[str], all_cols: list[str], order_cols: list[str]
+    unioned: DataFrame,
+    key_cols: list[str],
+    all_cols: list[str],
+    order_cols: list[str],
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """LWW with minimal payload movement — the large-row scale path.
 
@@ -145,18 +157,27 @@ def _resolve_two_phase(
     by construction, so ``dropDuplicates(key)`` resolves the tie without
     affecting the final state.
     """
+    if max_broadcast_rows is None:
+        max_broadcast_rows = TWO_PHASE_MAX_BROADCAST_ROWS
     slim = unioned.select(*key_cols, *order_cols)
     winner = F.max(F.struct(*[F.col(c) for c in order_cols])).alias("_w")
     winners = slim.groupBy(*key_cols).agg(winner).select(*key_cols, "_w.*")
-    w = winners.select(*[F.col(c).alias(f"_win_{c}") for c in key_cols + order_cols])
+    # Materialize the slim winner set once (localCheckpoint) so the size
+    # check and the subsequent broadcast share one computation, then GUARD
+    # the broadcast: round-2 review — an unconditionally forced broadcast
+    # on a very large epoch OOMs the driver instead of degrading. Past the
+    # threshold, fall back to maxby (state-identical by LWW associativity).
+    w = winners.select(
+        *[F.col(c).alias(f"_win_{c}") for c in key_cols + order_cols]
+    ).localCheckpoint(eager=True)
+    if w.count() > max_broadcast_rows:
+        return _resolve_maxby(unioned, key_cols, all_cols, order_cols)
     cond = None
     for c in key_cols + order_cols:
         e = F.col(c).eqNullSafe(F.col(f"_win_{c}"))
         cond = e if cond is None else cond & e
-    # broadcast is forced: a sort-merge semi join would shuffle the full
-    # payload rows on the join keys, defeating the whole point. Winner
-    # keys are slim; when an epoch's winner set outgrows broadcast (very
-    # large epochs), use resolve='maxby' instead.
+    # broadcast is forced below the guard: a sort-merge semi join would
+    # shuffle the full payload rows on the join keys, defeating the point.
     fetched = unioned.join(F.broadcast(w), cond, "left_semi")
     return fetched.dropDuplicates(key_cols)
 

@@ -101,20 +101,26 @@ class KafkaStreamSource:
         return self.event_schema
 
     def read_stream(self, spark: SparkSession, schema: StructType) -> DataFrame:
-        jvm_has_kafka = True
-        try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-            )
-        except Exception:
-            jvm_has_kafka = False
-        if not jvm_has_kafka:
-            raise RuntimeError(
-                "Kafka connector not on the classpath. Launch with "
-                "`spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>` "
-                "(or place the jar in $SPARK_HOME/jars). Everything else — "
-                "checkpointing, fencing, MERGE — is source-agnostic."
-            )
+        # Classpath pre-flight (round-2 advice fix): only a genuine
+        # ClassNotFound means "connector missing". Under Spark Connect
+        # (_jvm absent) or any unrelated JVM error we FALL THROUGH and let
+        # Spark's own reader surface the real failure, instead of
+        # mislabeling everything as a missing jar.
+        jvm = getattr(spark, "_jvm", None)
+        if jvm is not None:
+            try:
+                jvm.java.lang.Class.forName(
+                    "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+                )
+            except Exception as e:
+                if "ClassNotFoundException" in str(e):
+                    raise RuntimeError(
+                        "Kafka connector not on the classpath. Launch with "
+                        "`spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>` "
+                        "(or place the jar in $SPARK_HOME/jars). Everything else — "
+                        "checkpointing, fencing, MERGE — is source-agnostic."
+                    ) from e
+                # unrelated JVM error: let the reader below report it
         reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", self.bootstrap_servers)

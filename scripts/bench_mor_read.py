@@ -78,18 +78,25 @@ def main() -> None:
         assert len(dirty) == args.dirty, dirty
 
         def timed(df):
-            best = None
-            sh = 0
+            # Shuffle bytes are captured from the SAME iteration that set
+            # the min time, and "UI unavailable" stays None instead of a
+            # silent 0 (round-2 advice: the published byte ratio must not
+            # mix iterations or conflate 0 with unmeasured).
+            best, best_sh = None, None
             for _ in range(args.repeat):
                 s0 = shuffle_totals(spark)
                 t0 = time.monotonic()
                 df().write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0
                 s1 = shuffle_totals(spark)
-                if s0 and s1:
-                    sh = s1["shuffle_write_bytes"] - s0["shuffle_write_bytes"]
-                best = dt if best is None else min(best, dt)
-            return round(best, 3), sh
+                sh = (
+                    s1["shuffle_write_bytes"] - s0["shuffle_write_bytes"]
+                    if s0 is not None and s1 is not None
+                    else None
+                )
+                if best is None or dt < best:
+                    best, best_sh = dt, sh
+            return round(best, 3), best_sh
 
         # bucket-local (current) read path
         local_s, local_sh = timed(lambda: table.read(spark))
@@ -127,7 +134,11 @@ def main() -> None:
                     "speedup": round(global_s / local_s, 2),
                     "read_bucket_local_shuffle_bytes": local_sh,
                     "read_global_resolve_shuffle_bytes": global_sh,
-                    "shuffle_bytes_ratio": round(global_sh / local_sh, 1) if local_sh else None,
+                    "shuffle_bytes_ratio": (
+                        round(global_sh / local_sh, 1)
+                        if local_sh is not None and global_sh is not None and local_sh > 0
+                        else "ui_unavailable" if local_sh is None else None
+                    ),
                     "result_rows": n_local,
                 }
             )

@@ -56,6 +56,47 @@ def test_kafka_source_schema_and_actionable_failure(spark):
         src.read_stream(spark, ENVELOPE)
 
 
+def test_jdbc_source_plan_construction_and_actionable_failure(spark):
+    """The JDBC per-step extract seam (round-2 'What's missing' #2):
+    partitioned-read invariants enforced at construction, the incremental
+    watermark pushed down as a DB-side subquery, and — with no driver jar
+    in this sandbox — a loud, actionable failure naming the remediation."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.sources import JdbcSource
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("payload", StringType())]
+    )
+    # bounds required with a partition column (else: one-connection read)
+    with pytest.raises(ValueError, match="lower_bound"):
+        JdbcSource(url="jdbc:postgresql://h/db", table="t", expected_schema=schema,
+                   partition_column="id")
+    # parallelism without a partition column is silently ignored by Spark
+    with pytest.raises(ValueError, match="partition_column"):
+        JdbcSource(url="jdbc:postgresql://h/db", table="t", expected_schema=schema,
+                   num_partitions=8)
+    src = JdbcSource(
+        url="jdbc:postgresql://h/db", table="events", expected_schema=schema,
+        driver="org.postgresql.Driver", partition_column="id",
+        lower_bound=0, upper_bound=1_000_000, num_partitions=8,
+        watermark_column="id",
+    )
+    assert src.discover_schema() == schema
+    assert src.effective_table() == "events"
+    assert src.effective_table(watermark_after=42) == (
+        "(SELECT * FROM events WHERE id > 42) _incr"
+    )
+    sub = JdbcSource(url="jdbc:h", table="(SELECT * FROM a JOIN b USING (id)) s",
+                     expected_schema=schema, watermark_column="ts")
+    assert sub.effective_table("2026-01-01").startswith(
+        "(SELECT * FROM ((SELECT * FROM a JOIN b USING (id)) s) _t WHERE ts > '2026-01-01')"
+    )
+    # no DB / driver jar here: must fail with the exact remediation
+    with pytest.raises(RuntimeError, match="spark-submit --packages"):
+        src.read(spark)
+
+
 def test_stream_auto_expires_metadata(spark, tmp_path):
     """expire_every inside the stream keeps snapshot metadata bounded
     without any manual maintenance call."""
