@@ -100,6 +100,47 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
 
 
+def test_trained_ivf_centroids_beat_seeded_and_hit_090(spark):
+    """Sampled spherical k-means (round-2 'missing' #5): on clustered
+    vectors the LEARNED centroids must reach >=0.9 top-5 recall at
+    nprobe=2 of 8 cells and be at least as good as the seeded planes.
+    (On isotropic data IVF is capped near the probed-fraction floor
+    regardless of training — measured and documented in
+    train_ivf_centroids's docstring.)"""
+    from etlframwork_spark.functions.similarity import (
+        _ivf_centroids,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rows = _clustered(n_clusters=12, per_cluster=8, dim=32, seed=3)
+    df = spark.createDataFrame(rows, SCHEMA)
+    vecs = {vid: np.array(v) for vid, v in rows}
+
+    def recall(cents):
+        got: dict[int, set[int]] = {}
+        for r in ivf_topk(df, df, cents, k=5, nprobe=2).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = total = 0
+        for qid, qv in vecs.items():
+            sims = {
+                vid: float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+                for vid, v in vecs.items()
+                if vid != qid
+            }
+            truth = {vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]}
+            hits += len(truth & got.get(qid, set()))
+            total += len(truth)
+        return hits / total
+
+    trained = train_ivf_centroids(df, sample_mod=1)
+    r_trained, r_seeded = recall(trained), recall(_ivf_centroids(32))
+    assert r_trained >= 0.9, f"trained IVF recall {r_trained:.3f}"
+    assert r_trained >= r_seeded, f"trained {r_trained:.3f} < seeded {r_seeded:.3f}"
+    # determinism: same input -> bit-identical model
+    assert np.array_equal(trained, train_ivf_centroids(df, sample_mod=1))
+
+
 def test_ivf_assignment_is_deterministic_and_bounded(spark):
     from etlframwork_spark.functions.similarity import IVF_CELLS, _ivf_centroids, ivf_assign
     from etlframwork_spark.functions.similarity import _quantized as _q
