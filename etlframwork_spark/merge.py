@@ -42,12 +42,16 @@ sorted-merge apply)" as a copy-on-write merge into the bucketed
 7.  per-bucket/file lineage + per-epoch throughput metrics from parquet
     footers (no extra Spark job).
 
-Scale notes (100 TB posture): the only full scans are (a) one
-bucket-stat pass over the batch and (b) the resolve itself; the target
-table is never scanned beyond affected buckets; all logic is JVM-side
-except the optional sorted-merge fold; writes preserve the resolve's
-shuffle partitioning (no extra repartition) with ``partitionBy`` routing
-rows to bucket directories.
+Scale notes (100 TB posture): merge-on-read epochs scan the batch
+EXACTLY ONCE — batch stats ride the resolve+write action via
+``Observation`` and the affected-bucket list falls out of the
+partitioned write (round 3; previously a dedicated stats job added a
+second full scan + a collect barrier per epoch). Copy-on-write keeps the
+pre-pass because it must know the affected buckets before reading their
+stored rows. The target table is never scanned beyond affected buckets;
+all logic is JVM-side except the optional sorted-merge fold; the write
+routes each bucket wholly to one task (4x-spread hash partitioning —
+see step 5) with ``partitionBy`` splitting bucket directories.
 """
 
 from __future__ import annotations

@@ -290,11 +290,13 @@ def udtf_token_explode(spark, sf_dir):
 @query("source_format_roundtrip")  # rows-only: compares engine's own files
 def source_format_roundtrip(spark, sf_dir):
     """S-class format coverage beyond parquet: the events table is written
-    once to CSV and JSON (session workdir), read back with the EXPLICIT
-    envelope schema (never inference — SURVEY §1.3), and both round-trips
-    are checksummed against the parquet original. Equal rows/checksums in
-    all three rows of the output prove the readers are lossless on every
-    column class the testdata exercises (long, double, string, timestamp)."""
+    once to CSV, JSON and ORC (session workdir), read back with the
+    EXPLICIT envelope schema (never inference — SURVEY §1.3), and every
+    round-trip is checksummed against the parquet original. Equal
+    rows/checksums in all four rows of the output prove the readers are
+    lossless on every column class the testdata exercises (long, double,
+    string, timestamp). Avro needs the spark-avro jar (absent here); its
+    seam fails actionably — see sources.avro_reader."""
     import os
 
     ev = load_table(spark, sf_dir, "events")
@@ -303,14 +305,17 @@ def source_format_roundtrip(spark, sf_dir):
     name = f"fmt_roundtrip_{sf_tag}"
     work, built = _workdir(name)
     csv_dir, json_dir = os.path.join(work, "csv"), os.path.join(work, "json")
+    orc_dir = os.path.join(work, "orc")
     if not built:
         ev.write.option("header", True).mode("overwrite").csv(csv_dir)
         ev.write.mode("overwrite").json(json_dir)
+        ev.write.mode("overwrite").orc(orc_dir)
         _mark_built(name, work)
     readers = {
         "parquet": ev,
         "csv": spark.read.schema(schema).option("header", True).csv(csv_dir),
         "json": spark.read.schema(schema).json(json_dir),
+        "orc": spark.read.schema(schema).orc(orc_dir),
     }
     outs = []
     for fmt, df in readers.items():

@@ -52,6 +52,9 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Python DataSource filter pushdown (bucket pruning in the
+        # snapshot_table source) is opt-in in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # deterministic timestamps across engines (oracle parity)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

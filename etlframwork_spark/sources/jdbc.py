@@ -137,3 +137,23 @@ class JdbcSource:
                 "the merge"
             )
         return df.select(*[f.name for f in self.expected_schema.fields])
+
+
+def avro_reader(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Avro batch reader seam (explicit schema, like every other source).
+
+    The ``spark-avro`` module is an external jar, absent in this sandbox;
+    the failure is made actionable the same way as the Kafka and JDBC
+    seams. ORC/CSV/JSON/parquet need no seam — they are built in and
+    round-trip-proven by the ``source_format_roundtrip`` driver query."""
+    try:
+        return spark.read.format("avro").schema(schema).load(path)
+    except Exception as e:
+        msg = str(e)
+        if "avro" in msg.lower() and ("Failed to find data source" in msg or "ClassNotFound" in msg):
+            raise RuntimeError(
+                "spark-avro is not on the classpath. Launch with `spark-submit "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version>` "
+                "(or place the jar in $SPARK_HOME/jars)."
+            ) from e
+        raise

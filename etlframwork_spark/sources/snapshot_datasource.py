@@ -1,0 +1,284 @@
+"""DataSource V2 exposure of ``SnapshotTable`` (Spark 4 Python Data
+Source API) — closes round-2's "largest remaining architectural gap":
+manifest-level pruning was Python-side only, invisible to Catalyst, so
+``spark.sql`` over the CDC table could not prune.
+
+Registration + use::
+
+    from etlframwork_spark.sources.snapshot_datasource import SnapshotTableDataSource
+    spark.dataSource.register(SnapshotTableDataSource)
+    df = spark.read.format("snapshot_table").option("root", root).load()
+    df.filter((df.repo == "org1/repo17") & (df.path == "src/mod0/f3.js"))
+
+What Catalyst sees:
+
+- **Key-equality bucket pruning** via ``pushFilters``: equality filters
+  on ALL key columns let the reader compute the row's bucket with a
+  pure-Python reimplementation of Spark's ``xxhash64`` (bit-equality vs
+  the JVM pinned in tests/test_datasource.py) and plan exactly ONE input
+  partition instead of ``num_buckets``. Every filter is still returned to
+  Spark for post-scan evaluation, so pruning can never change results.
+- **Snapshot time travel** via ``option("snapshot_id", N)``.
+- **Merge-on-read semantics**: each partition = one bucket; delta files
+  are LWW-resolved against the base inside the partition (same
+  associative (lsn, commit) max the writer and ``table.read`` use), and
+  tombstones are dropped — byte-identical rows to ``SnapshotTable.read``.
+
+Scale/fit notes, stated honestly: rows cross the Python worker as Arrow
+record batches, so this reader costs an Arrow hop that the native
+``table.read`` path (pure JVM parquet scan) does not. It is the SQL
+convenience/interop surface — ad-hoc ``spark.sql`` over CDC tables with
+pruning — not the ingest hot path, which stays on ``table.read``. A JVM
+DSv2 implementation would remove the hop; the PLANNING behavior
+(partition-per-bucket, filter-driven pruning, snapshot pinning) is
+exactly what that implementation would do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# ------------------------------------------------------------- xxhash64
+# Pure-Python XXH64 matching Spark's `xxhash64` on strings (UTF-8 bytes,
+# seed chaining across columns, seed 42 at the head — the exact semantics
+# of table.bucket_expr). Bit-equality vs the JVM is pinned in tests.
+_M = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M
+    return (_rotl(acc, 31) * _P1) & _M
+
+
+def xxhash64(data: bytes, seed: int) -> int:
+    """XXH64 over ``data`` with ``seed`` (unsigned 64-bit result)."""
+    seed &= _M
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h = ((_rotl(h ^ _round(0, int.from_bytes(data[i : i + 8], "little")), 27)) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ (int.from_bytes(data[i : i + 4], "little") * _P1) & _M, 23)) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5) & _M, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_strings(values: list[str], seed: int = 42) -> int:
+    """Spark's multi-column ``xxhash64(c1, c2, ...)`` over string columns:
+    each column's hash seeds the next, starting at 42. Returns the SIGNED
+    64-bit value Spark produces."""
+    h = seed
+    for v in values:
+        h = xxhash64(v.encode("utf-8"), h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of(key_values: list[str], num_buckets: int) -> int:
+    """pmod(xxhash64(keys), num_buckets) — Python twin of table.bucket_expr."""
+    return spark_xxhash64_strings(key_values) % num_buckets
+
+
+# ----------------------------------------------------------- the source
+_VERSION_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _load_meta(root: str) -> dict:
+    mdir = os.path.join(root, "metadata")
+    versions = [
+        int(m.group(1)) for f in os.listdir(mdir) if (m := _VERSION_RE.match(f))
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no table metadata under {mdir}")
+    with open(os.path.join(mdir, f"v{max(versions)}.json")) as f:
+        return json.load(f)
+
+
+class _BucketPartition(InputPartition):
+    def __init__(self, bucket: int, base_files: list[str], delta_files: list[str]):
+        self.bucket = bucket
+        self.base_files = base_files
+        self.delta_files = delta_files
+
+
+class SnapshotTableReader(DataSourceReader):
+    def __init__(self, options: dict, meta: dict):
+        self.root = options["root"]
+        self.meta = meta
+        sid = options.get("snapshot_id")
+        self.snapshot_id = int(sid) if sid is not None else meta["current_snapshot_id"]
+        self.include_tombstones = str(options.get("include_tombstones", "false")).lower() == "true"
+        self.key_cols = meta["key_cols"]
+        self.order_col = meta["order_col"]
+        self.num_buckets = meta["num_buckets"]
+        self._pruned_bucket: int | None = None
+        snaps = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        if self.snapshot_id not in snaps:
+            raise KeyError(f"snapshot {self.snapshot_id} not found (expired or never existed)")
+        self.snap = snaps[self.snapshot_id]
+        sid = self.snap.get("schema_id", meta["current_schema_id"])
+        # Iceberg semantics: time travel reads the snapshot's OWN schema;
+        # the plain read uses the current one
+        if "snapshot_id" not in options:
+            sid = meta["current_schema_id"]
+        self.schema_json = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == sid)
+
+    # -------------------------------------------------------- planning
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Bucket pruning: equality on ALL key columns pins the bucket.
+        Every filter is handed back to Spark (full post-scan evaluation),
+        so pruning is a pure optimization that cannot change results."""
+        eq = {
+            f.attribute[0]: f.value
+            for f in filters
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 and isinstance(f.value, str)
+        }
+        if all(k in eq for k in self.key_cols):
+            self._pruned_bucket = bucket_of([eq[k] for k in self.key_cols], self.num_buckets)
+        return filters  # Spark re-applies everything; we only pruned
+
+    def partitions(self):
+        base = self.snap.get("files", {})
+        delta = self.snap.get("delta_files", {})
+        buckets = sorted({int(b) for b in base} | {int(b) for b, fs in delta.items() if fs})
+        if self._pruned_bucket is not None:
+            buckets = [b for b in buckets if b == self._pruned_bucket]
+        parts = [
+            _BucketPartition(
+                b,
+                [os.path.join(self.root, f) for f in base.get(str(b), [])],
+                [os.path.join(self.root, f) for f in delta.get(str(b), [])],
+            )
+            for b in buckets
+        ]
+        # empty table: one empty partition keeps the scan well-formed
+        return parts or [_BucketPartition(-1, [], [])]
+
+    # -------------------------------------------------------- execution
+    def read(self, partition: _BucketPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        spark_schema = StructType.fromJson(self.schema_json)
+        out_fields = [
+            f.name
+            for f in spark_schema.fields
+            if self.include_tombstones or f.name != "_deleted"
+        ]
+        arrow_schema = to_arrow_schema(spark_schema)
+        out_schema = pa.schema([arrow_schema.field(n) for n in out_fields])
+        if not partition.base_files and not partition.delta_files:
+            yield pa.RecordBatch.from_pylist([], schema=out_schema)
+            return
+
+        def read_files(files):
+            tables = []
+            for f in files:
+                t = pq.read_table(f)
+                # project onto the read schema: files written before an
+                # additive evolution surface nulls in the new columns
+                cols = []
+                for fld in arrow_schema:
+                    if fld.name in t.column_names:
+                        cols.append(t.column(fld.name).cast(fld.type))
+                    else:
+                        cols.append(pa.nulls(len(t), fld.type))
+                tables.append(pa.Table.from_arrays(cols, schema=arrow_schema))
+            return pa.concat_tables(tables) if tables else None
+
+        if partition.delta_files:
+            # merge-on-read LWW inside the bucket: the bucket's BASE rows
+            # join the resolve (a delta may supersede them) — exactly
+            # table.read's dirty-bucket path, with the same (lsn, commit)
+            # max and nulls-first ordering the writer uses.
+            both = read_files(partition.base_files + partition.delta_files)
+            pdf = both.to_pandas()
+            order_cols = [self.order_col] + (["commit"] if "commit" in pdf.columns else [])
+            pdf = pdf.sort_values(order_cols, kind="stable", na_position="first")
+            pdf = pdf.groupby(self.key_cols, as_index=False, sort=False).tail(1)
+            base = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+        else:
+            base = read_files(partition.base_files)
+        if base is None:
+            yield pa.RecordBatch.from_pylist([], schema=out_schema)
+            return
+        if not self.include_tombstones and "_deleted" in base.column_names:
+            import pyarrow.compute as pc
+
+            mask = pc.fill_null(base.column("_deleted"), False)
+            base = base.filter(pc.invert(mask))
+        base = base.select(out_fields)
+        for batch in base.to_batches(max_chunksize=10_000):
+            yield batch
+
+
+class SnapshotTableDataSource(DataSource):
+    """``spark.read.format("snapshot_table")`` over a SnapshotTable root."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_table"
+
+    def schema(self) -> StructType:
+        meta = _load_meta(self.options["root"])
+        sid = meta["current_schema_id"]
+        if "snapshot_id" in self.options:
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot_id"] == int(self.options["snapshot_id"])
+            )
+            sid = snap.get("schema_id", sid)
+        struct = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == sid)
+        full = StructType.fromJson(struct)
+        if str(self.options.get("include_tombstones", "false")).lower() == "true":
+            return full
+        return StructType([f for f in full.fields if f.name != "_deleted"])
+
+    def reader(self, schema: StructType) -> SnapshotTableReader:
+        return SnapshotTableReader(dict(self.options), _load_meta(self.options["root"]))

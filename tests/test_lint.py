@@ -20,10 +20,12 @@ BANNED = [
     (re.compile(r"\.head\s*\("), "driver-side head() probe"),
 ]
 
-# .collect() is allowed ONLY for O(#buckets)/O(#files) metadata, never data
+# .collect() is allowed ONLY for O(#buckets)/O(#files)/O(model) metadata,
+# never data rows
 COLLECT_ALLOWED = {
     "merge.py",  # bucket-stat rows (<= num_buckets)
     "maintenance.py",  # purgeable-bucket rows (<= num_buckets)
+    "similarity.py",  # trained IVF centroids (K rows — the model, not data)
 }
 
 

@@ -97,6 +97,17 @@ def test_jdbc_source_plan_construction_and_actionable_failure(spark):
         src.read(spark)
 
 
+def test_avro_seam_actionable_failure(spark):
+    """No spark-avro jar in this sandbox: the seam must name the
+    remediation (same contract as the Kafka and JDBC seams)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etlframwork_spark.sources import avro_reader
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        avro_reader(spark, "/tmp/never-read", StructType([StructField("x", LongType())]))
+
+
 def test_stream_auto_expires_metadata(spark, tmp_path):
     """expire_every inside the stream keeps snapshot metadata bounded
     without any manual maintenance call."""
