@@ -282,42 +282,58 @@ def merge_batch(
     schema, new_cols = _evolved_schema(table, batch)
     all_cols = [f.name for f in schema.fields]
 
-    # -- 3. bucket-stat pass: affected buckets + offset ranges (one job) ----
+    # -- 3. batch stats: affected buckets + offset ranges -------------------
+    # Two execution shapes (identical outputs):
+    #   * cow / two_phase: a dedicated stats pass BEFORE the resolve — cow
+    #     must know the affected buckets to read only their stored rows,
+    #     and two_phase's plan traverses the batch twice (an observe node
+    #     there would double-count).
+    #   * mor single-pass (the ingest hot path): NO extra job. Stats ride
+    #     the resolve+write action itself via Observation, and the
+    #     affected-bucket list falls out of the partitioned write's
+    #     directory layout. One scan of the batch per epoch instead of
+    #     two (measured round 3: the stats pass was ~15% of epoch wall
+    #     and scaled worst, being a short-task barrier).
     t_stats0 = time.monotonic()
     nb = table.num_buckets
-    bstats = (
-        ev.groupBy(bucket_expr(key_cols, nb).alias(BUCKET_COL))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
-            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("dels"),
+    single_pass = write_mode == "mor" and resolve != "two_phase"
+    obs = None
+    affected: list[int] | None = None
+    n_events = n_deletes = 0
+    src_lo = src_hi = None
+    if not single_pass:
+        bstats = (
+            ev.groupBy(bucket_expr(key_cols, nb).alias(BUCKET_COL))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("lsn").alias("lo"),
+                F.max("lsn").alias("hi"),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("dels"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    affected = sorted(r[BUCKET_COL] for r in bstats)
-    n_events = sum(r["n"] for r in bstats)
-    n_deletes = sum(r["dels"] for r in bstats)
-    src_lo = min((r["lo"] for r in bstats), default=None)
-    src_hi = max((r["hi"] for r in bstats), default=None)
+        affected = sorted(r[BUCKET_COL] for r in bstats)
+        n_events = sum(r["n"] for r in bstats)
+        n_deletes = sum(r["dels"] for r in bstats)
+        src_lo = min((r["lo"] for r in bstats), default=None)
+        src_hi = max((r["hi"] for r in bstats), default=None)
 
     timings: dict[str, float] = {"stats": round(time.monotonic() - t_stats0, 2)}
     summary: dict[str, Any] = {
         "fence": fence,
-        "events": n_events,
-        "deletes": n_deletes,
         "quarantined": quarantined,
-        "affected_buckets": len(affected),
         "new_columns": new_cols,
     }
 
-    if n_events == 0:
-        # still commit the fence so re-delivery of an empty epoch is a no-op
-        snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
-        summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
-        summary["skipped"] = snap is None
-        summary["timings"] = timings
-        return summary
+    if not single_pass:
+        summary.update(events=n_events, deletes=n_deletes, affected_buckets=len(affected))
+        if n_events == 0:
+            # still commit the fence so re-delivery of an empty epoch is a no-op
+            snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
+            summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
+            summary["skipped"] = snap is None
+            summary["timings"] = timings
+            return summary
 
     # -- 4. LWW resolve ------------------------------------------------------
     # cow: resolve over (batch ∪ affected stored rows); the stored side
@@ -327,6 +343,17 @@ def merge_batch(
     # (including tombstones) are resolved at READ time by the table's
     # merge-on-read LWW (table.read), which is the same associative max.
     ev_aligned = _align(ev, schema, ["op"]).select(*all_cols, "op")
+    if single_pass:
+        from pyspark.sql import Observation
+
+        obs = Observation(f"epoch_stats_{fence}")
+        ev_aligned = ev_aligned.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("dels"),
+        )
     if write_mode == "mor":
         unioned = ev_aligned
     else:
@@ -384,19 +411,41 @@ def merge_batch(
     # bucket to exactly ONE task so an epoch writes ONE file per affected
     # bucket. Without this, every shuffle partition writes a sliver into
     # every bucket directory (tasks x buckets tiny files) and subsequent
-    # epochs drown in file-open overhead. Parallelism is bounded by
+    # epochs drown in file-open overhead. The partition count is 4x the
+    # bucket count (empty partitions are free): hashing B distinct bucket
+    # values into exactly B partitions is balls-in-bins — ~1/e of the
+    # partitions land empty while others carry 3-4 buckets, and at high
+    # core counts the multi-bucket stragglers gate the stage (measured
+    # round 3). Each bucket still maps wholly to ONE partition, so the
+    # one-file-per-bucket invariant holds. Parallelism remains bounded by
     # #affected buckets — size num_buckets >= cluster cores at scale.
     hook("pre_write")
     t_w0 = time.monotonic()
     data_dir = table.new_data_dir()
+    n_parts = 4 * nb if single_pass else max(4 * len(affected), 1)
     (
-        final.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+        final.repartition(n_parts, F.col(BUCKET_COL))
         .write.partitionBy(BUCKET_COL)
         .option("compression", "zstd")
         .parquet(data_dir)
     )
     timings["resolve_write"] = round(time.monotonic() - t_w0, 2)
     files_by_bucket = _list_written_files(data_dir)
+    if single_pass:
+        # stats observed during the write action; affected buckets from
+        # the partitioned directory layout — no separate stats job ran
+        m = obs.get
+        n_events = m["n"] or 0
+        n_deletes = m["dels"] or 0
+        src_lo, src_hi = m["lo"], m["hi"]
+        affected = sorted(files_by_bucket)
+        summary.update(events=n_events, deletes=n_deletes, affected_buckets=len(affected))
+        if n_events == 0:
+            snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
+            summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
+            summary["skipped"] = snap is None
+            summary["timings"] = timings
+            return summary
 
     # -- 6. fenced atomic commit ---------------------------------------------
     hook("pre_commit")

@@ -55,6 +55,13 @@ def build_session(
         # Python DataSource filter pushdown (bucket pruning in the
         # snapshot_table source) is opt-in in Spark 4.1
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # scan splits: aim for ~3 splits per core so a wave of scan tasks
+        # can't leave cores idle behind stragglers (splits are bounded
+        # below by openCostInBytes, so tiny tables don't shatter). With
+        # the default (= parallelism) an epoch's scan ran exactly one
+        # task per core and the slowest file gated the stage — measured
+        # as the 8->32 scaling ceiling in round 3.
+        .config("spark.sql.files.minPartitionNum", str(3 * shuffle_partitions // 4))
         # deterministic timestamps across engines (oracle parity)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
