@@ -20,7 +20,21 @@ each 4x pair. Methodology that makes the comparison honest:
   epochs (first epoch excluded: JIT + page-cache warm-up). Epochs carry
   identical event content at every level, so the per-epoch ratio is a
   matched-pairs estimator that is robust to the single-box noise that
-  whole-run ratios suffer from.
+  whole-run ratios suffer from;
+- ``--repeats 2`` (default) runs the levels in A-B-C-C-B-A order and
+  takes the per-epoch MINIMUM across repeats: this sandbox's host speed
+  was observed to swing 2-9x over minutes (round 3), and a slow phase
+  during one level's single run poisons its pair ratios; the mirrored
+  order + min gives every level a shot at a fast phase on both ends of
+  the drift;
+- a single-thread sha256 calibration probe runs before each level and is
+  recorded in the output — slow-host contamination is visible, not
+  hidden;
+- heap scales with the level (1.5 GiB/core, floor 4 GiB): a 4N-executor
+  cluster has 4x the aggregate heap, so a pinned N-core level models an
+  N-core executor host with proportional memory. (A fixed heap makes the
+  high level spill/GC against 1/4 the per-task memory — measured as
+  inflated per-task CPU.)
 
 Writes/updates BENCH/BASELINE.md with the measured table.
 
@@ -40,12 +54,28 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def calibrate() -> float:
+    """Single-thread host-speed probe: seconds to sha256 256MB of zeros.
+    Bigger = slower host phase. Recorded per level for transparency."""
+    import hashlib
+    import time
+
+    block = bytes(1 << 20)
+    t0 = time.monotonic()
+    h = hashlib.sha256()
+    for _ in range(256):
+        h.update(block)
+    return round(time.monotonic() - t0, 3)
+
+
 def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pin: bool, wmode: str) -> dict:
     env = dict(os.environ)
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     os.makedirs("/dev/shm/cdc-bench", exist_ok=True)
     env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     env.setdefault("TMPDIR", "/dev/shm/cdc-bench")
+    # heap proportional to the level (see module docstring)
+    env.setdefault("SPARK_DRIVER_MEM", f"{max(4, (3 * cpus) // 2)}g")
     cmd = [
         sys.executable,
         os.path.join(REPO, "scripts", "bench_cdc.py"),
@@ -82,11 +112,33 @@ def main() -> None:
     ap.add_argument("--trigger", type=int, default=32)
     ap.add_argument("--no-pin", action="store_true")
     ap.add_argument("--write-mode", default="mor", help="mor: size-independent epochs -> cleaner matched ratios")
+    ap.add_argument("--repeats", type=int, default=2, help="mirrored level order, per-epoch min across repeats")
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
     pin = not args.no_pin
-    runs = {c: run_level(c, args.events, args.resolve, args.files, args.trigger, pin, args.write_mode) for c in levels}
+    order = list(levels)
+    for r in range(1, args.repeats):
+        order += list(reversed(levels)) if r % 2 else list(levels)
+    runs: dict[int, dict] = {}
+    calib: dict[int, list[float]] = {c: [] for c in levels}
+    for c in order:
+        calib[c].append(calibrate())
+        r = run_level(c, args.events, args.resolve, args.files, args.trigger, pin, args.write_mode)
+        if c not in runs:
+            runs[c] = r
+        else:
+            prev = runs[c]
+            assert prev["state_digest"] == r["state_digest"]
+            merged = [min(a, b) for a, b in zip(prev["epoch_seconds"], r["epoch_seconds"])]
+            best = prev if prev["seconds"] <= r["seconds"] else r
+            best = dict(best)
+            best["epoch_seconds"] = merged
+            steady = merged[1:] if len(merged) > 1 else merged
+            best["steady_events_per_sec"] = round(
+                (args.events * len(steady) / len(merged)) / sum(steady), 1
+            )
+            runs[c] = best
     digests = {r["state_digest"] for r in runs.values()}
     assert len(digests) == 1, "final states differ across parallelism!"
 
@@ -115,6 +167,8 @@ def main() -> None:
         "state_identical": True,
         "final_rows": runs[levels[0]]["final_rows"],
         "pinned": pin,
+        "repeats": args.repeats,
+        "calibration_sha256_256mb_sec": {str(c): v for c, v in calib.items()},
         "measured_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
     }
     print(json.dumps(out))
@@ -164,7 +218,12 @@ Efficiency = median over steady epochs of wall-time ratio / core ratio
 (first epoch excluded: JVM JIT + page-cache warm-up — a rounding error
 at the nominal 10^10-event scale). The matched-per-epoch estimator is
 used because single-box runs are noisy and every level processes the
-identical epoch contents.
+identical epoch contents. Levels ran {out['repeats']}x in mirrored order
+(A-B-C-C-B-A) with the per-epoch MINIMUM taken across repeats — this
+sandbox's host speed drifts over minutes, and the mirrored order + min
+keeps one slow phase from poisoning a single level. Host-speed
+calibration probes per level (single-thread sha256 of 256MB, seconds;
+lower = faster phase): {json.dumps(out['calibration_sha256_256mb_sec'])}.
 
 Caveats (SURVEY.md §6): the north rule's nominal scale is 10^10 events
 on a real N-vs-4N-executor cluster; this sandbox evidences the criterion
