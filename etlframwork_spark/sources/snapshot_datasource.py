@@ -45,7 +45,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -157,6 +162,7 @@ class SnapshotTableReader(DataSourceReader):
         self.order_col = meta["order_col"]
         self.num_buckets = meta["num_buckets"]
         self._pruned_bucket: int | None = None
+        self._stats_filters: list[tuple] = []
         snaps = {s["snapshot_id"]: s for s in meta["snapshots"]}
         if self.snapshot_id not in snaps:
             raise KeyError(f"snapshot {self.snapshot_id} not found (expired or never existed)")
@@ -169,10 +175,25 @@ class SnapshotTableReader(DataSourceReader):
         self.schema_json = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == sid)
 
     # -------------------------------------------------------- planning
+    _FILTER_OPS = (
+        (EqualTo, "="),
+        (GreaterThan, ">"),
+        (GreaterThanOrEqual, ">="),
+        (LessThan, "<"),
+        (LessThanOrEqual, "<="),
+        (In, "in"),
+    )
+
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        """Bucket pruning: equality on ALL key columns pins the bucket.
-        Every filter is handed back to Spark (full post-scan evaluation),
-        so pruning is a pure optimization that cannot change results."""
+        """Two pruning layers; every filter is handed back to Spark (full
+        post-scan evaluation), so pruning is a pure optimization that
+        cannot change results.
+
+        1. Bucket pruning: equality on ALL key columns pins the bucket.
+        2. File skipping: comparison filters are matched against the
+           per-file min/max bounds recorded at commit time (stats.py) —
+           clean buckets only; see partitions().
+        """
         eq = {
             f.attribute[0]: f.value
             for f in filters
@@ -180,22 +201,38 @@ class SnapshotTableReader(DataSourceReader):
         }
         if all(k in eq for k in self.key_cols):
             self._pruned_bucket = bucket_of([eq[k] for k in self.key_cols], self.num_buckets)
+        for f in filters:
+            for klass, op in self._FILTER_OPS:
+                if isinstance(f, klass) and len(f.attribute) == 1:
+                    value = list(f.value) if op == "in" else f.value
+                    self._stats_filters.append((f.attribute[0], op, value))
+                    break
         return filters  # Spark re-applies everything; we only pruned
 
     def partitions(self):
+        from ..stats import prune_files
+
         base = self.snap.get("files", {})
         delta = self.snap.get("delta_files", {})
+        fstats = self.meta.get("file_stats", {})
         buckets = sorted({int(b) for b in base} | {int(b) for b, fs in delta.items() if fs})
         if self._pruned_bucket is not None:
             buckets = [b for b in buckets if b == self._pruned_bucket]
-        parts = [
-            _BucketPartition(
-                b,
-                [os.path.join(self.root, f) for f in base.get(str(b), [])],
-                [os.path.join(self.root, f) for f in delta.get(str(b), [])],
+        parts = []
+        for b in buckets:
+            base_rels = base.get(str(b), [])
+            delta_rels = delta.get(str(b), [])
+            if self._stats_filters and not delta_rels:
+                # file skipping is only sound where no read-time LWW
+                # resolve runs (stats.py safety rules): clean buckets
+                base_rels = prune_files(fstats, base_rels, self._stats_filters)
+            parts.append(
+                _BucketPartition(
+                    b,
+                    [os.path.join(self.root, f) for f in base_rels],
+                    [os.path.join(self.root, f) for f in delta_rels],
+                )
             )
-            for b in buckets
-        ]
         # empty table: one empty partition keeps the scan well-formed
         return parts or [_BucketPartition(-1, [], [])]
 

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from .stats import filters_to_expr, prune_files, validate_filters
+
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 BUCKET_COL = "_bucket"
 # Hidden engine column: delete tombstones. A winning delete keeps a
@@ -130,6 +132,9 @@ class SnapshotTable:
             ],
             "current_snapshot_id": 0,
             "committed_fences": {},
+            # per-file column bounds (Iceberg manifest min/max concept);
+            # harvested from parquet footers at commit time — see stats.py
+            "file_stats": {},
         }
         t = cls(root, meta, version=0)
         t._write_version(1)
@@ -281,6 +286,46 @@ class SnapshotTable:
         snap = self.snapshot(snapshot_id)
         return {int(b): len(fs) for b, fs in snap.get("delta_files", {}).items() if fs}
 
+    def scan_files(
+        self,
+        filters: list[tuple] | None = None,
+        buckets: Iterable[int] | None = None,
+        snapshot_id: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Plan a filtered scan: the exact ``(clean_files, dirty_files)``
+        sets ``read(filters=...)`` will hand to Spark.
+
+        Three pruning layers, each a pure optimization (the caller
+        re-applies the predicate on the DataFrame):
+
+        1. **bucket pruning** — equality filters covering ALL key columns
+           pin the single bucket that can hold the key;
+        2. **file skipping (clean buckets only)** — per-file min/max bounds
+           recorded at commit time (stats.py) drop files whose bounds
+           cannot satisfy the conjunction;
+        3. dirty (delta-carrying) buckets are NEVER file-skipped: within a
+           bucket the read-time LWW resolve must see every version of a
+           key, or a stale row whose newer version moved outside the
+           predicate range would win. They are pruned only at bucket
+           granularity (layer 1), which is key-exact and thus safe.
+        """
+        filters = validate_filters(filters) if filters else []
+        if buckets is None and filters:
+            eq = {c: v for c, op, v in filters if op == "=" and isinstance(v, str)}
+            if all(k in eq for k in self.key_cols):
+                from .sources.snapshot_datasource import bucket_of
+
+                buckets = [bucket_of([eq[k] for k in self.key_cols], self.num_buckets)]
+        clean_b, dirty_b = self._split_buckets_for_read(buckets, snapshot_id)
+        clean_files = self.files_for(buckets=clean_b, snapshot_id=snapshot_id) if clean_b else []
+        dirty_files = self.files_for(buckets=dirty_b, snapshot_id=snapshot_id) if dirty_b else []
+        if filters and clean_files:
+            fstats = self.meta.get("file_stats", {})
+            rels = [os.path.relpath(p, self.root) for p in clean_files]
+            kept = set(prune_files(fstats, rels, filters))
+            clean_files = [p for p, r in zip(clean_files, rels) if r in kept]
+        return clean_files, dirty_files
+
     def read(
         self,
         spark: SparkSession,
@@ -289,6 +334,7 @@ class SnapshotTable:
         schema_id: int | None = None,
         schema: StructType | None = None,
         include_tombstones: bool = False,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Read a snapshot (time travel when ``snapshot_id`` given).
 
@@ -312,9 +358,9 @@ class SnapshotTable:
         # union, exchange-free. Mid-ingest a table with deltas on k of B
         # buckets shuffles k/B of the data instead of all of it — at 100 TB
         # this is the difference between a read working and not.
-        clean_b, dirty_b = self._split_buckets_for_read(buckets, snapshot_id)
-        clean_files = self.files_for(buckets=clean_b, snapshot_id=snapshot_id) if clean_b else []
-        dirty_files = self.files_for(buckets=dirty_b, snapshot_id=snapshot_id) if dirty_b else []
+        clean_files, dirty_files = self.scan_files(
+            filters=filters, buckets=buckets, snapshot_id=snapshot_id
+        )
         parts = []
         if clean_files:
             parts.append(spark.read.schema(schema).parquet(*clean_files))
@@ -339,6 +385,10 @@ class SnapshotTable:
             df = df.filter(
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
             ).drop(TOMBSTONE_COL)
+        if filters:
+            # re-apply the exact predicate the pruning assumed — skipping
+            # files/buckets can then never change results, only cost
+            df = df.filter(filters_to_expr(validate_filters(filters)))
         return df
 
     # ---------------------------------------------------------------- commit
@@ -391,6 +441,17 @@ class SnapshotTable:
         if mode not in ("replace", "append_delta"):
             raise ValueError(f"unknown commit mode {mode!r}")
         changed_buckets = list(changed_buckets)  # may be re-iterated on retry
+        # Footer-derived per-file column bounds, computed ONCE (outside the
+        # CAS retry loop — the files are immutable, their stats don't
+        # change across retries). Metadata-only read: no data scan.
+        from .stats import collect_file_stats
+
+        new_rels = [
+            os.path.relpath(p, self.root) if os.path.isabs(p) else p
+            for b in changed_buckets
+            for p in changed_files_by_bucket.get(int(b), [])
+        ]
+        new_stats = collect_file_stats(self.root, new_rels, self._stats_cols())
         baseline: dict[str, Any] | None = None
         if validate_from_snapshot is not None and mode == "replace":
             baseline = self._bucket_state(changed_buckets, validate_from_snapshot)
@@ -407,7 +468,8 @@ class SnapshotTable:
                         "from stale data — recompute and retry"
                     )
                 return self._commit_once(
-                    changed_files_by_bucket, changed_buckets, fence, new_schema, summary, mode
+                    changed_files_by_bucket, changed_buckets, fence, new_schema, summary, mode,
+                    new_stats,
                 )
             except VersionConflict:
                 continue
@@ -428,6 +490,11 @@ class SnapshotTable:
             )
         return out
 
+    def _stats_cols(self) -> list[str]:
+        """Columns to record bounds for: every top-level field except the
+        hidden tombstone (stats.py skips unusable types per row group)."""
+        return [f.name for f in self.schema().fields if f.name != TOMBSTONE_COL]
+
     def _commit_once(
         self,
         changed_files_by_bucket: dict[int, list[str]],
@@ -436,6 +503,7 @@ class SnapshotTable:
         new_schema: StructType | None,
         summary: dict[str, Any] | None,
         mode: str,
+        new_stats: dict[str, dict[str, Any]] | None = None,
     ) -> dict[str, Any] | None:
         # NOTE: caller (the retry loop) has already refreshed and validated
         # against THIS metadata state; refreshing again here would open a
@@ -487,6 +555,8 @@ class SnapshotTable:
         self.meta["current_snapshot_id"] = new_id
         if fence is not None:
             self.meta["committed_fences"][fence] = new_id
+        if new_stats:
+            self.meta.setdefault("file_stats", {}).update(new_stats)
         self._write_version(self.version + 1)
         return snap
 
@@ -523,6 +593,17 @@ class SnapshotTable:
         dropped = len(snaps) - len(kept)
         self.meta["snapshots"] = kept
         self.meta["committed_fences"] = pruned_fences
+        # GC per-file stats with their files: keep bounds only for files
+        # some retained snapshot still references (metadata stays O(live))
+        fstats = self.meta.get("file_stats")
+        if fstats:
+            live: set[str] = set()
+            for s in kept:
+                for fs in s["files"].values():
+                    live.update(fs)
+                for fs in s.get("delta_files", {}).values():
+                    live.update(fs)
+            self.meta["file_stats"] = {f: st for f, st in fstats.items() if f in live}
         self._write_version(self.version + 1)
         # metadata-log hygiene: a long-running stream commits one
         # v{N}.json per epoch; prune superseded versions (the current
