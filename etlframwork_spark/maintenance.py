@@ -85,32 +85,53 @@ def _purge_once(spark: SparkSession, table: SnapshotTable, watermark_lsn: int) -
 
 
 def compact_buckets(
-    spark: SparkSession, table: SnapshotTable, min_deltas: int = 1
+    spark: SparkSession,
+    table: SnapshotTable,
+    min_deltas: int = 1,
+    sort_by_key: bool = True,
+    max_records_per_file: int | None = None,
 ) -> dict:
     """Fold merge-on-read delta files back into bucket base files.
 
     Buckets carrying >= ``min_deltas`` delta files are read with the
     table's LWW resolve (tombstones retained — purge is a separate,
-    watermark-gated op) and rewritten as a single base file each; the
-    replace commit clears their delta lists. Read amplification returns
-    to one file per bucket; state is unchanged byte-for-byte (LWW
-    associativity), asserted in tests/test_mor.py. Racing a concurrent
-    writer (e.g. an ingest epoch appending a delta to a bucket being
-    compacted) fails the commit (CommitConflict) and the compaction is
-    recomputed from fresh state — never silently dropping the new delta.
+    watermark-gated op) and rewritten; the replace commit clears their
+    delta lists. State is unchanged byte-for-byte (LWW associativity),
+    asserted in tests/test_mor.py. Racing a concurrent writer (e.g. an
+    ingest epoch appending a delta to a bucket being compacted) fails the
+    commit (CommitConflict) and the compaction is recomputed from fresh
+    state — never silently dropping the new delta.
+
+    **Clustering for file skipping** (the stats.py payoff): with
+    ``sort_by_key`` (default) the rewrite sorts each bucket by the key
+    columns, and ``max_records_per_file`` splits the sorted stream into
+    size-bounded files. Each file then covers a CONTIGUOUS key range, so
+    its recorded (repo, path) bounds are tight and a repo-equality
+    predicate — which hash bucketing alone cannot prune (the bucket is
+    hash(repo, path), so one repo's paths land everywhere) — skips every
+    file whose range excludes it. This is Iceberg's sort-order/rewrite
+    concept: ingest stays fast and hash-bucketed; compaction buys the
+    read-side pruning. With ``max_records_per_file=None`` each bucket
+    stays one file (today's layout) and sorting costs one in-task sort.
     """
     from .table import CommitConflict
 
     for attempt in range(_MAX_RECOMPUTE):
         try:
-            return _compact_once(spark, table, min_deltas)
+            return _compact_once(spark, table, min_deltas, sort_by_key, max_records_per_file)
         except CommitConflict:
             if attempt == _MAX_RECOMPUTE - 1:
                 raise
     raise AssertionError("unreachable")
 
 
-def _compact_once(spark: SparkSession, table: SnapshotTable, min_deltas: int) -> dict:
+def _compact_once(
+    spark: SparkSession,
+    table: SnapshotTable,
+    min_deltas: int,
+    sort_by_key: bool = True,
+    max_records_per_file: int | None = None,
+) -> dict:
     table.refresh()
     read_snapshot = table.snapshot()["snapshot_id"]
     counts = table.delta_file_counts()
@@ -122,12 +143,17 @@ def _compact_once(spark: SparkSession, table: SnapshotTable, min_deltas: int) ->
         BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
     )
     data_dir = table.new_data_dir()
-    (
-        keep.repartition(max(len(buckets), 1), F.col(BUCKET_COL))
-        .write.partitionBy(BUCKET_COL)
-        .option("compression", "zstd")
-        .parquet(data_dir)
-    )
+    out = keep.repartition(max(len(buckets), 1), F.col(BUCKET_COL))
+    if sort_by_key:
+        # rows arrive grouped by bucket within the task; sorting by
+        # (bucket, *key) keeps the grouping and orders each bucket's rows
+        # by key, so maxRecordsPerFile cuts the stream into contiguous
+        # key-range runs (tight per-file bounds for stats.py skipping)
+        out = out.sortWithinPartitions(BUCKET_COL, *table.key_cols)
+    writer = out.write.partitionBy(BUCKET_COL).option("compression", "zstd")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(data_dir)
     from .merge import _list_written_files
 
     files_by_bucket = _list_written_files(data_dir)

@@ -249,6 +249,43 @@ def test_expire_snapshots_gcs_stats_of_dead_files(spark, tmp_path):
     assert snap_files <= after
 
 
+# ------------------------------------------- sorted compaction clustering
+def test_sorted_compaction_makes_repo_predicates_skip_files(spark, tmp_path):
+    """Hash bucketing cannot prune a repo-only predicate (one repo's paths
+    hash everywhere). After key-sorted, size-bounded compaction each file
+    covers a contiguous (repo, path) range, so the recorded bounds let a
+    repo-equality scan skip most files of every bucket."""
+    from etlframwork_spark.maintenance import compact_buckets
+
+    table = SnapshotTable.create(
+        str(tmp_path / "sorted"), TARGET_BASE_SCHEMA, key_cols=["repo", "path"],
+        order_col="lsn", num_buckets=4,
+    )
+    spec = EventLogSpec(seed=11, n_events=3000, n_repos=40, paths_per_repo=16, p_delete=0.05)
+    pdf = _make_events_frame(spec)
+    half = len(pdf) // 2
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        merge_batch(
+            spark, table,
+            spark.createDataFrame(chunk.drop(columns=["lang"]), schema=CDC_BASE_SCHEMA),
+            job_id="sorted", epoch_id=i, write_mode="mor",
+        )
+    before = _rows(table.read(spark))
+    res = compact_buckets(spark, table, min_deltas=1, max_records_per_file=40)
+    assert res["buckets_compacted"] == 4
+    assert _rows(table.read(spark)) == before  # state byte-identical
+
+    clean, dirty = table.scan_files()
+    assert dirty == [] and len(clean) > 8  # size bound really split files
+    # per-file repo bounds are tight: most files exclude any single repo
+    repo = table.read(spark).first()["repo"]
+    kept, _ = table.scan_files(filters=[("repo", "=", repo)])
+    assert len(kept) < len(clean) / 2
+    assert _rows(table.read(spark, filters=[("repo", "=", repo)])) == _rows(
+        table.read(spark).filter(F.col("repo") == repo)
+    )
+
+
 # ------------------------------------------------------------- DSv2 parity
 def test_datasource_pushed_filters_skip_files_and_match(spark, tmp_path):
     from pyspark.sql.datasource import GreaterThan
