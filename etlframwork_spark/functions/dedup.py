@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 from ..operators.registry import query
@@ -332,10 +333,54 @@ def docs_minhash_lsh(spark, sf_dir):
 
 
 # -------------------------------------------- cluster representatives (CC)
-def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+#: Edge cap for the driver-side union-find fast path. The input is the
+#: VERIFIED near-dup pair graph — orders of magnitude smaller than the
+#: corpus (a corpus with 10^6 verified dup PAIRS has at most ~2*10^6
+#: involved docs; 10^10-doc corpora still produce pair graphs this small
+#: unless the dedup threshold is broken). The gate is an exact count, so
+#: the collect is bounded by construction; larger graphs take the
+#: distributed O(log diameter) loop below.
+SMALL_GRAPH_MAX_EDGES = 1_000_000
+
+
+def _union_find_min_labels(edge_rows) -> dict:
+    """Driver-side union-find (path-halving) with min-id representatives.
+    Deterministic: the representative of each component is its smallest id
+    regardless of edge order."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def connected_min_labels(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    small_graph_max_edges: int = SMALL_GRAPH_MAX_EDGES,
+) -> DataFrame:
     """Connected components over a (near-dup) pair graph: every node ends
     labeled with the smallest id reachable from it — the cluster
     representative the dedup KEEPS.
+
+    Two execution strategies behind one contract (identical labels):
+
+    - **small graph** (edge count <= ``small_graph_max_edges``): one
+      bounded collect + driver union-find + one createDataFrame. The
+      verified pair graph is orders smaller than the corpus, so this is
+      the common case even at 10^10 docs; the gate is an exact count.
+    - **large graph**: the distributed min-label-propagation +
+      pointer-jumping loop below (O(log diameter) rounds).
 
     Each round does min-label propagation along edges PLUS a
     pointer-jumping shortcut (label := label's label — every label is
@@ -355,6 +400,22 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
+    # Small-graph fast path: the verified pair graph usually fits the
+    # driver with room to spare (see SMALL_GRAPH_MAX_EDGES). One exact
+    # count gates a bounded collect + union-find — replacing O(log d)
+    # rounds of (join + checkpoint + count) with two Spark jobs. Result
+    # is identical (min-id representative per component) by construction.
+    n_edges = edges.count()
+    if n_edges <= small_graph_max_edges:
+        spark = pairs.sparkSession
+        labels = _union_find_min_labels([(r[0], r[1]) for r in edges.collect()])
+        node_t = edges.schema.fields[0].dataType
+        schema = StructType(
+            [StructField("node", node_t, False), StructField("label", node_t, False)]
+        )
+        return spark.createDataFrame(
+            [(n, l) for n, l in sorted(labels.items())], schema=schema
+        )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))

@@ -208,8 +208,30 @@ def test_connected_min_labels_long_chain_converges_log_rounds(spark):
     from etlframwork_spark.functions.dedup import connected_min_labels
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
-    got = {r["node"]: r["label"] for r in connected_min_labels(chain, max_iters=9).collect()}
+    got = {r["node"]: r["label"] for r in connected_min_labels(chain, max_iters=9, small_graph_max_edges=0).collect()}
     assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_connected_min_labels_strategies_agree(spark):
+    """The driver union-find fast path and the distributed
+    propagation+pointer-jumping loop must produce IDENTICAL labels —
+    same min-id representative per component — on a graph mixing a long
+    chain, a clique, singleton pairs, and out-of-order edges."""
+    from etlframwork_spark.functions.dedup import connected_min_labels
+
+    edges = (
+        [(i, i + 1) for i in range(30)]             # chain, diameter 30
+        + [(100, 101), (101, 102), (100, 102)]      # triangle
+        + [(200, 201)]                              # pair
+        + [(77, 5), (60, 40)]                       # cross/out-of-order links
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {r["node"]: r["label"] for r in connected_min_labels(pairs).collect()}
+    loop = {
+        r["node"]: r["label"]
+        for r in connected_min_labels(pairs, small_graph_max_edges=0).collect()
+    }
+    assert fast == loop and fast[77] == 0 and fast[102] == 100
 
 
 def test_connected_min_labels_raises_on_non_convergence(spark):
@@ -221,4 +243,4 @@ def test_connected_min_labels_raises_on_non_convergence(spark):
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_min_labels(chain, max_iters=2)
+        connected_min_labels(chain, max_iters=2, small_graph_max_edges=0)

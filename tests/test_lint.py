@@ -26,6 +26,10 @@ COLLECT_ALLOWED = {
     "merge.py",  # bucket-stat rows (<= num_buckets)
     "maintenance.py",  # purgeable-bucket rows (<= num_buckets)
     "similarity.py",  # trained IVF centroids (K rows — the model, not data)
+    # verified dup-pair graph, gated by an EXACT count() <=
+    # SMALL_GRAPH_MAX_EDGES before collecting; larger graphs take the
+    # distributed CC loop (strategy equality pinned in tests/test_dedup.py)
+    "dedup.py",
 }
 
 
