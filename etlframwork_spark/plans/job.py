@@ -9,7 +9,9 @@ Supported step types:
 
     cdc_ingest      run the streaming CDC ingest (streaming/ingest.py)
     read_parquet    {"path", "name"}                -> temp view `name`
-    read_table      {"table_root", "name", ...}     -> snapshot table view
+    read_table      {"table_root", "name", "snapshot_id"?, "filters"?}
+                    -> snapshot table view; "filters" ([[col,op,value]…])
+                    drive manifest file skipping (stats.py)
     sql             {"query", "name"}               -> temp view from SQL
     transform       {"input", "name", "select"/"filter"/"with_columns"}
     write_parquet   {"input", "path", "mode", "partition_by"}
@@ -75,7 +77,14 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
             results[name] = {"type": kind}
         elif kind == "read_table":
             t = SnapshotTable.load(step["table_root"])
-            t.read(spark, snapshot_id=step.get("snapshot_id")).createOrReplaceTempView(name)
+            # "filters": [[col, op, value], ...] — conjunction, ops in
+            # stats.OPS. Drives manifest file skipping + bucket pinning
+            # (table.scan_files); the predicate is re-applied in the plan
+            # so the step's rows are exactly read-then-filter.
+            filters = [tuple(f) for f in step.get("filters", [])] or None
+            t.read(
+                spark, snapshot_id=step.get("snapshot_id"), filters=filters
+            ).createOrReplaceTempView(name)
             results[name] = {"type": kind, "snapshot_id": t.snapshot()["snapshot_id"]}
         elif kind == "sql":
             spark.sql(step["query"]).createOrReplaceTempView(name)

@@ -156,6 +156,12 @@ class SnapshotTableReader(DataSourceReader):
         self.root = options["root"]
         self.meta = meta
         sid = options.get("snapshot_id")
+        tag = options.get("tag")
+        if tag is not None:
+            refs = meta.get("refs", {})
+            if tag not in refs:
+                raise KeyError(f"tag {tag!r} not found (known: {sorted(refs)})")
+            sid = refs[tag]["snapshot_id"]
         self.snapshot_id = int(sid) if sid is not None else meta["current_snapshot_id"]
         self.include_tombstones = str(options.get("include_tombstones", "false")).lower() == "true"
         self.key_cols = meta["key_cols"]
@@ -170,7 +176,7 @@ class SnapshotTableReader(DataSourceReader):
         sid = self.snap.get("schema_id", meta["current_schema_id"])
         # Iceberg semantics: time travel reads the snapshot's OWN schema;
         # the plain read uses the current one
-        if "snapshot_id" not in options:
+        if "snapshot_id" not in options and "tag" not in options:
             sid = meta["current_schema_id"]
         self.schema_json = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == sid)
 

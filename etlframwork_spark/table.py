@@ -335,6 +335,7 @@ class SnapshotTable:
         schema: StructType | None = None,
         include_tombstones: bool = False,
         filters: list[tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a snapshot (time travel when ``snapshot_id`` given).
 
@@ -344,7 +345,12 @@ class SnapshotTable:
         schema); ``schema`` overrides it (used mid-merge for an evolution
         that is not yet committed). Delete tombstones are filtered out and
         the hidden column dropped unless ``include_tombstones``.
+        ``tag`` is name-based time travel (``set_tag``).
         """
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            snapshot_id = self.resolve_tag(tag)
         if schema is None:
             sid = self.meta["current_schema_id"] if schema_id is None else schema_id
             schema = self.schema(sid)
@@ -392,6 +398,51 @@ class SnapshotTable:
         return df
 
     # ---------------------------------------------------------------- commit
+    # -------------------------------------------------------------- tags
+    def set_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag concept). Tagged snapshots are
+        exempt from expire_snapshots' retention window — a tag like
+        ``audit-2026Q3`` pins that table state until the tag is dropped.
+        Returns the tagged snapshot id. CAS-safe against concurrent
+        metadata writers."""
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                self.refresh()
+                sid = self.snapshot(snapshot_id)["snapshot_id"]  # must exist
+                self.meta.setdefault("refs", {})[name] = {"snapshot_id": sid, "type": "tag"}
+                self._write_version(self.version + 1)
+                return sid
+            except VersionConflict:
+                continue
+        raise VersionConflict("set_tag lost the metadata CAS repeatedly")
+
+    def drop_tag(self, name: str) -> None:
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                self.refresh()
+                refs = self.meta.get("refs", {})
+                if name not in refs:
+                    raise KeyError(f"tag {name!r} not found")
+                del refs[name]
+                self._write_version(self.version + 1)
+                return
+            except VersionConflict:
+                continue
+        raise VersionConflict("drop_tag lost the metadata CAS repeatedly")
+
+    def tags(self) -> dict[str, int]:
+        return {
+            n: r["snapshot_id"]
+            for n, r in self.meta.get("refs", {}).items()
+            if r.get("type") == "tag"
+        }
+
+    def resolve_tag(self, name: str) -> int:
+        refs = self.meta.get("refs", {})
+        if name not in refs:
+            raise KeyError(f"tag {name!r} not found (known: {sorted(refs)})")
+        return refs[name]["snapshot_id"]
+
     def is_fence_committed(self, fence: str) -> bool:
         return fence in self.meta["committed_fences"]
 
@@ -589,6 +640,8 @@ class SnapshotTable:
             return 0
         keep = snaps[-keep_last:]
         keep_ids = {s["snapshot_id"] for s in keep} | {self.meta["current_snapshot_id"]}
+        # tagged snapshots are pinned regardless of the retention window
+        keep_ids |= {r["snapshot_id"] for r in self.meta.get("refs", {}).values()}
         kept = [s for s in snaps if s["snapshot_id"] in keep_ids]
         dropped = len(snaps) - len(kept)
         self.meta["snapshots"] = kept

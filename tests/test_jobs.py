@@ -58,6 +58,26 @@ def test_job_pipeline_end_to_end(spark, tmp_path):
     assert set(out.columns) == {"repo", "n", "bytes"}
 
 
+def test_read_table_step_filters_prune_and_match(spark, tmp_path):
+    """The read_table step's "filters" field drives manifest file
+    skipping and must yield exactly read-then-filter rows."""
+    from pyspark.sql import functions as F
+
+    from etlframwork_spark.table import SnapshotTable
+
+    generate_event_log(
+        str(tmp_path / "events"), EventLogSpec(seed=6, n_events=1000, n_repos=10, paths_per_repo=6, n_files=3)
+    )
+    spec = _spec(tmp_path)
+    spec["steps"] = spec["steps"][:2]  # ingest + read_table only
+    spec["steps"][1]["filters"] = [["lsn", ">", 500]]
+    run_job(spark, JobSpec(job_id="jobtest_f", steps=spec["steps"]))
+    got = sorted(tuple(r) for r in spark.table("repos").collect())
+    t = SnapshotTable.load(str(tmp_path / "table"))
+    want = sorted(tuple(r) for r in t.read(spark).filter(F.col("lsn") > 500).collect())
+    assert got == want and got  # non-empty and exact
+
+
 @pytest.mark.slow
 def test_spark_submit_pyfiles_launch(tmp_path):
     """The BJ:6 launch path: spark-submit --py-files engine.zip main.py."""

@@ -253,3 +253,61 @@ def test_replace_commit_conflicts_with_concurrent_delta(tmp_path, spark):
     compact_buckets(spark, t1, min_deltas=1)
     rows = {r["content"] for r in t1.read(spark).collect()}
     assert rows == {"v2"}
+
+
+def test_tags_pin_snapshots_and_read_by_name(tmp_path, spark):
+    """Iceberg tag semantics: named snapshots, name-based time travel,
+    exemption from the retention window, GC after drop."""
+    t = _mk(tmp_path)
+    f1 = os.path.join(t.root, "data", "s1", "f1.parquet")
+    _write_parquet(f1, [{"repo": "a/b", "path": "x.py", "commit": "c1",
+                         "content": "v1", "lsn": 1, "content_sha256": "s1"}], ARROW_BASE)
+    s1 = t.commit({0: [f1]}, [0])
+    tagged = t.set_tag("audit", s1["snapshot_id"])
+    assert tagged == s1["snapshot_id"] and t.tags() == {"audit": s1["snapshot_id"]}
+    # pile on more commits than the retention window
+    for i in range(2, 8):
+        f = os.path.join(t.root, "data", f"s{i}", f"f{i}.parquet")
+        _write_parquet(f, [{"repo": "a/b", "path": "x.py", "commit": f"c{i}",
+                            "content": f"v{i}", "lsn": i, "content_sha256": f"s{i}"}], ARROW_BASE)
+        t.commit({0: [f]}, [0])
+    t.expire_snapshots(keep_last=2)
+    # the tagged snapshot survived expiry; name-based read sees v1
+    assert t.read(spark, tag="audit").select("content").first()[0] == "v1"
+    assert t.read(spark, tag="audit").collect() == t.read(
+        spark, snapshot_id=s1["snapshot_id"]
+    ).collect()
+    # tag survives reload (it is table metadata, not session state)
+    assert SnapshotTable.load(t.root).tags() == {"audit": s1["snapshot_id"]}
+    # DSv2 surface reads the same rows by tag
+    from etlframwork_spark.sources.snapshot_datasource import SnapshotTableDataSource
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    via_ds = (
+        spark.read.format("snapshot_table")
+        .option("root", t.root).option("tag", "audit").load()
+    )
+    assert [tuple(r) for r in via_ds.collect()] == [
+        tuple(r) for r in t.read(spark, tag="audit").collect()
+    ]
+    # drop -> snapshot becomes expirable and unknown tags raise
+    t.drop_tag("audit")
+    with pytest.raises(KeyError):
+        t.read(spark, tag="audit")
+    t.expire_snapshots(keep_last=2)
+    ids = {s["snapshot_id"] for s in t.meta["snapshots"]}
+    assert s1["snapshot_id"] not in ids
+
+
+def test_tag_of_missing_snapshot_and_conflicting_args(tmp_path, spark):
+    t = _mk(tmp_path)
+    with pytest.raises(KeyError):
+        t.set_tag("nope", 999)
+    f1 = os.path.join(t.root, "data", "s1", "f1.parquet")
+    _write_parquet(f1, [{"repo": "a/b", "path": "x.py", "commit": "c1",
+                         "content": "v1", "lsn": 1, "content_sha256": "s1"}], ARROW_BASE)
+    s1 = t.commit({0: [f1]}, [0])
+    t.set_tag("v1")  # defaults to current snapshot
+    assert t.tags()["v1"] == s1["snapshot_id"]
+    with pytest.raises(ValueError):
+        t.read(spark, snapshot_id=s1["snapshot_id"], tag="v1")
