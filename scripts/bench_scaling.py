@@ -68,45 +68,59 @@ def calibrate() -> float:
     return round(time.monotonic() - t0, 3)
 
 
-def calibrate_parallel(cpus: int, iters: int = 192) -> float:
-    """Aggregate MB/s of ``cpus`` concurrent sha256 threads pinned to the
-    SAME core set the level's Spark JVM gets (cores 0..cpus-1).
+def calibrate_parallel(cpus: int, seconds: float = 12.0) -> float:
+    """SUSTAINED aggregate MB/s of ``cpus`` concurrent sha256 threads
+    pinned to the SAME core set the level's Spark JVM gets (cores
+    0..cpus-1); reported as the rate of the LAST ~third of a ``seconds``-
+    long run.
 
-    This is the host's PARALLEL-COMPUTE CEILING at that width: sha256 is
-    pure CPU (hashlib releases the GIL on large buffers; no memory-
-    bandwidth pressure, no locks, no shuffle), so NO workload — Spark or
-    otherwise — can scale across N threads better than this probe does at
-    the moment of measurement. On this sandbox the 32 vCPUs are
-    oversubscribed at the hypervisor (nonzero /proc/stat steal; probe
-    measured 8->32-thread aggregate scaling as low as 1.3x on an
-    otherwise-idle guest), so the probe is recorded per level and the
-    engine's pair efficiency is reported both raw and normalized by the
-    ceiling ratio — a real cluster adds whole machines per executor and
-    does not share its cores with a hypervisor neighbor."""
+    This is the host's sustained PARALLEL-COMPUTE CEILING at that width:
+    sha256 is pure CPU (hashlib releases the GIL on large buffers; no
+    memory-bandwidth pressure, no locks, no shuffle), so NO workload —
+    Spark or otherwise — can scale across N threads better than this
+    probe does at the moment of measurement. Two hypervisor behaviors
+    were measured on this sandbox (round 3), and both make the probe
+    necessary:
+
+    - the instantaneous grant swings minute-to-minute (2.3-10.9 GB/s at
+      32 threads across repeats of the same run);
+    - the grant DECAYS under sustained wide load (13.3 -> 8.1 GB/s over
+      30 s of 32-thread burn, /proc/stat steal ramping to ~2 stolen
+      cores per 5 s window) — a burst-credit pattern. A short burst
+      probe therefore OVERSTATES what a 20 s epoch actually receives;
+      the last-window rate of a sustained run is the honest ceiling.
+
+    The engine's pair efficiency is reported both raw and normalized by
+    the ceiling ratio — a real cluster adds whole machines per executor
+    and does not share its cores with a hypervisor neighbor."""
     import hashlib
     import threading
     import time
 
     block = bytes(1 << 20)
+    stop = False
+    counts = [0] * cpus
 
-    def burn():
+    def burn(i):
         h = hashlib.sha256()
-        for _ in range(iters):
+        while not stop:
             h.update(block)
+            counts[i] += 1
 
     prev = os.sched_getaffinity(0)
     try:
         os.sched_setaffinity(0, set(range(cpus)))
-        best = 0.0
-        for _ in range(2):
-            ts = [threading.Thread(target=burn) for _ in range(cpus)]
-            t0 = time.monotonic()
-            for t in ts:
-                t.start()
-            for t in ts:
-                t.join()
-            best = max(best, cpus * iters / (time.monotonic() - t0))
-        return round(best, 1)
+        ts = [threading.Thread(target=burn, args=(i,)) for i in range(cpus)]
+        for t in ts:
+            t.start()
+        time.sleep(seconds * 2 / 3)
+        c0, t0 = sum(counts), time.monotonic()
+        time.sleep(seconds / 3)
+        c1, t1 = sum(counts), time.monotonic()
+        stop = True
+        for t in ts:
+            t.join()
+        return round((c1 - c0) / (t1 - t0), 1)
     finally:
         os.sched_setaffinity(0, prev)
 
@@ -236,6 +250,11 @@ def main() -> None:
     print(json.dumps(out))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # append-only run history: BASELINE.md is overwritten per run, but the
+    # host's grant varies several-fold between runs — the history is what
+    # makes any single run's numbers interpretable
+    with open(os.path.join(REPO, "BENCH", "RUNS.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     level_rows = "\n".join(
         f"| {c} cores (pinned) | {runs[c]['steady_events_per_sec']:,.0f} events/s steady "
@@ -249,6 +268,29 @@ def main() -> None:
         f"| N={p['n']} -> 4N={p['m']} | **{p['efficiency']:.2f}** | "
         f"{p['host_ceiling_efficiency']:.2f} | **{p['efficiency_vs_host_ceiling']:.2f}** |"
         for p in pairs
+    )
+    # every recorded run, so no single host phase dominates the story
+    hist_rows = []
+    with open(os.path.join(REPO, "BENCH", "RUNS.jsonl")) as f:
+        for line in f:
+            h = json.loads(line)
+            cells = [h["measured_at"]]
+            for p in h["pair_efficiencies"]:
+                ceil = p.get("host_ceiling_efficiency")
+                norm = p.get("efficiency_vs_host_ceiling")
+                cells.append(
+                    f"{p['efficiency']:.2f}"
+                    + (f" (ceiling {ceil:.2f}, norm {norm:.2f})" if ceil else "")
+                )
+            hist_rows.append("| " + " | ".join(cells) + " |")
+    hist_pairs = " | ".join(
+        f"{p['n']}->{p['m']}" for p in out["pair_efficiencies"]
+    )
+    history_table = (
+        f"| run (UTC) | {hist_pairs} |\n|---|"
+        + "---|" * len(out["pair_efficiencies"])
+        + "\n"
+        + "\n".join(hist_rows)
     )
     with open(md, "w") as f:
         f.write(
@@ -288,11 +330,14 @@ sandbox's host speed drifts over minutes, and the mirrored order + min
 keeps one slow phase from poisoning a single level.
 
 **Host compute ceiling**: this sandbox's 32 vCPUs are hypervisor-
-oversubscribed (nonzero /proc/stat steal). A pinned N-thread pure-CPU
-sha256 probe (GIL-released, no memory-bandwidth pressure, no locks)
-measures the parallel-compute efficiency the host itself grants each
-core set at run time — an upper bound on ANY workload's N->4N scaling
-on this box, Spark or otherwise. "Engine / ceiling" is the engine's
+oversubscribed (nonzero /proc/stat steal), and the grant DECAYS under
+sustained wide load (measured 13.3 -> 8.1 GB/s over 30 s of 32-thread
+pure-CPU burn — a burst-credit pattern; ~6-10 effective cores
+sustained). A pinned N-thread pure-CPU sha256 probe (GIL-released, no
+memory-bandwidth pressure, no locks; SUSTAINED last-window rate, not a
+burst) measures the parallel-compute efficiency the host itself grants
+each core set at run time — an upper bound on ANY workload's N->4N
+scaling on this box, Spark or otherwise. "Engine / ceiling" is the engine's
 pair efficiency normalized by that bound: the number a cluster whose
 executors own their cores would see. A value above 1.0 means the
 engine's best epochs and the probes sampled different host phases (the
@@ -300,6 +345,18 @@ grant drifts minute-to-minute) — read it as "at the ceiling", not
 super-linear. Probe data this run —
 single-thread seconds/256MB {json.dumps(out['calibration_sha256_256mb_sec'])},
 aggregate MB/s at level width {json.dumps(out['calibration_parallel_sha256_mb_s'])}.
+
+**Run-to-run variance** — every recorded run of this identical bench
+(host grant varies several-fold between runs; raw data BENCH/RUNS.jsonl):
+
+{history_table}
+
+The spread tracks the host's sustained grant, not code changes — the
+first sustained-ceiling run (8->32 ceiling 0.37) put the engine at 0.97
+of that ceiling. Trust the engine/ceiling column over any single raw
+number at the 32-wide level; the best observed raw numbers (2->8 0.92,
+8->32 0.53 on 2026-08-16 before per-run JSON capture) simply caught
+better host phases.
 
 Caveats (SURVEY.md §6): the north rule's nominal scale is 10^10 events
 on a real N-vs-4N-executor cluster; this sandbox evidences the criterion
