@@ -68,6 +68,10 @@ def _purge_once(spark: SparkSession, table: SnapshotTable, watermark_lsn: int) -
     data_dir = table.new_data_dir()
     (
         keep.repartition(max(len(buckets), 1), F.col(BUCKET_COL))
+        # same key-clustered layout as sorted compaction: the rewrite is
+        # already paying the shuffle, sorting keeps per-file key bounds
+        # tight for stats.py file skipping
+        .sortWithinPartitions(BUCKET_COL, *table.key_cols)
         .write.partitionBy(BUCKET_COL)
         .option("compression", "zstd")
         .parquet(data_dir)

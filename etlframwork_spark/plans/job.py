@@ -9,9 +9,12 @@ Supported step types:
 
     cdc_ingest      run the streaming CDC ingest (streaming/ingest.py)
     read_parquet    {"path", "name"}                -> temp view `name`
-    read_table      {"table_root", "name", "snapshot_id"?, "filters"?}
-                    -> snapshot table view; "filters" ([[col,op,value]…])
-                    drive manifest file skipping (stats.py)
+    read_table      {"table_root", "name", "snapshot_id"?, "tag"?,
+                    "filters"?} -> snapshot table view; "filters"
+                    ([[col,op,value]…]) drive manifest file skipping
+                    (stats.py); "tag" is name-based time travel
+    tag_snapshot    {"table_root", "tag", "snapshot_id"?} -> pin a
+                    snapshot by name (exempt from retention until dropped)
     sql             {"query", "name"}               -> temp view from SQL
     transform       {"input", "name", "select"/"filter"/"with_columns"}
     write_parquet   {"input", "path", "mode", "partition_by"}
@@ -83,9 +86,16 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
             # so the step's rows are exactly read-then-filter.
             filters = [tuple(f) for f in step.get("filters", [])] or None
             t.read(
-                spark, snapshot_id=step.get("snapshot_id"), filters=filters
+                spark,
+                snapshot_id=step.get("snapshot_id"),
+                tag=step.get("tag"),
+                filters=filters,
             ).createOrReplaceTempView(name)
             results[name] = {"type": kind, "snapshot_id": t.snapshot()["snapshot_id"]}
+        elif kind == "tag_snapshot":
+            t = SnapshotTable.load(step["table_root"])
+            sid = t.set_tag(step["tag"], step.get("snapshot_id"))
+            results[name] = {"type": kind, "tag": step["tag"], "snapshot_id": sid}
         elif kind == "sql":
             spark.sql(step["query"]).createOrReplaceTempView(name)
             results[name] = {"type": kind}

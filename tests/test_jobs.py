@@ -108,3 +108,22 @@ def test_spark_submit_pyfiles_launch(tmp_path):
     line = [l for l in r.stdout.splitlines() if l.startswith('{"job_id"')][-1]
     out = json.loads(line)
     assert out["steps"]["ingest"]["snapshot_id"] >= 1
+
+
+def test_tag_snapshot_step_and_read_by_tag(spark, tmp_path):
+    from etlframwork_spark.table import SnapshotTable
+
+    generate_event_log(
+        str(tmp_path / "events"), EventLogSpec(seed=6, n_events=1000, n_repos=10, paths_per_repo=6, n_files=3)
+    )
+    spec = _spec(tmp_path)
+    steps = spec["steps"][:2] + [
+        {"type": "tag_snapshot", "name": "pin", "table_root": str(tmp_path / "table"), "tag": "release"},
+        {"type": "read_table", "name": "released", "table_root": str(tmp_path / "table"), "tag": "release"},
+    ]
+    results = run_job(spark, JobSpec(job_id="jobtest_tag", steps=steps))
+    t = SnapshotTable.load(str(tmp_path / "table"))
+    assert results["pin"]["snapshot_id"] == t.tags()["release"]
+    got = sorted(tuple(r) for r in spark.table("released").collect())
+    want = sorted(tuple(r) for r in t.read(spark, tag="release").collect())
+    assert got == want and got
