@@ -388,12 +388,16 @@ def merge_batch(
     # winners: stored rows keep their sha; winning deletes become tombstones
     # (payload nulled — only key + lsn are retained); new upserts get
     # sha2(content) computed JVM-side.
-    final = resolved.withColumn(TOMBSTONE_COL, is_del).withColumn(
-        SHA_COL,
-        F.when(is_del, F.lit(None).cast("string"))
-        .when(F.col("op") == _STORED, F.col(SHA_COL))
-        .otherwise(F.sha2(F.col("content"), 256) if "content" in all_cols else F.lit(None).cast("string")),
-    )
+    final = resolved.withColumn(TOMBSTONE_COL, is_del)
+    if SHA_COL in all_cols:
+        # the per-row invariant column; tables declared without it (generic
+        # keyed upsert, no content hash) simply skip this derivation
+        final = final.withColumn(
+            SHA_COL,
+            F.when(is_del, F.lit(None).cast("string"))
+            .when(F.col("op") == _STORED, F.col(SHA_COL))
+            .otherwise(F.sha2(F.col("content"), 256) if "content" in all_cols else F.lit(None).cast("string")),
+        )
     # Tombstones must retain their FULL ordering key (lsn AND the commit
     # tiebreak): nulling 'commit' would let a future distinct event with the
     # same lsn and any non-null commit beat the tombstone and resurrect the
@@ -433,14 +437,26 @@ def merge_batch(
     files_by_bucket = _list_written_files(data_dir)
     if single_pass:
         # stats observed during the write action; affected buckets from
-        # the partitioned directory layout — no separate stats job ran
-        m = obs.get
-        n_events = m["n"] or 0
-        n_deletes = m["dels"] or 0
-        src_lo, src_hi = m["lo"], m["hi"]
+        # the partitioned directory layout — no separate stats job ran.
+        # Zero written files <=> zero validated events (every event yields
+        # a row on this path), and on an EMPTY plan Catalyst's
+        # empty-relation propagation erases the CollectMetrics node, so
+        # obs.get must not be consulted there.
+        if files_by_bucket:
+            m = obs.get
+            n_events = m["n"] or 0
+            n_deletes = m["dels"] or 0
+            src_lo, src_hi = m["lo"], m["hi"]
         affected = sorted(files_by_bucket)
         summary.update(events=n_events, deletes=n_deletes, affected_buckets=len(affected))
         if n_events == 0:
+            # single-pass learns the epoch was empty only AFTER the write
+            # ran; the write produced no committed-referenced files (zero
+            # rows), so drop the orphan data_dir (+_SUCCESS marker) instead
+            # of leaving one per empty epoch of a long-running stream
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
             snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
             summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
             summary["skipped"] = snap is None

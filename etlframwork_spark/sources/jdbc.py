@@ -34,6 +34,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def sql_literal(value) -> str:
+    """Render a watermark value as a portable SQL literal.
+
+    Python ``repr`` is NOT SQL (a string containing a quote becomes a
+    Python-style double-quoted literal) and unescaped values are an
+    injection surface inside the generated subquery — round-3 ADVICE.
+    Numbers pass through; strings get single quotes doubled; anything
+    else (including bool — ints in Python, not portable SQL) is rejected
+    loudly at the step boundary."""
+    if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+        raise TypeError(
+            f"unsupported watermark literal type {type(value).__name__!r}: "
+            "pass an int, float, or str (format timestamps as ISO strings)"
+        )
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    return repr(value)
+
+
 @dataclass
 class JdbcSource:
     """One job-step relational extract (``spark.read.format("jdbc")``).
@@ -84,7 +103,7 @@ class JdbcSource:
         # pushed-down incremental predicate: the DB filters, not Spark
         return (
             f"(SELECT * FROM {inner} WHERE {self.watermark_column} > "
-            f"{watermark_after!r}) _incr"
+            f"{sql_literal(watermark_after)}) _incr"
         )
 
     def _reader(self, spark: SparkSession, watermark_after=None):

@@ -144,6 +144,38 @@ def _load_meta(root: str) -> dict:
         return json.load(f)
 
 
+def _resolve_snapshot_schema(meta: dict, options: dict) -> tuple[int, dict, dict]:
+    """Resolve (snapshot_id, snapshot, schema_struct_json) for a read.
+
+    Shared by planning (``DataSource.schema``) and execution
+    (``SnapshotTableReader``) so they can never disagree: a ``tag`` or
+    explicit ``snapshot_id`` option reads the pinned snapshot's OWN schema
+    (Iceberg time-travel semantics); a plain read uses the current schema.
+    Round-3 review: schema() resolved only snapshot_id, so reading by tag
+    on a table whose schema evolved after the tag planned with the current
+    schema while the reader yielded old-schema batches."""
+    sid = options.get("snapshot_id")
+    tag = options.get("tag")
+    if tag is not None:
+        refs = meta.get("refs", {})
+        if tag not in refs:
+            raise KeyError(f"tag {tag!r} not found (known: {sorted(refs)})")
+        sid = refs[tag]["snapshot_id"]
+    snapshot_id = int(sid) if sid is not None else meta["current_snapshot_id"]
+    snaps = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    if snapshot_id not in snaps:
+        raise KeyError(f"snapshot {snapshot_id} not found (expired or never existed)")
+    snap = snaps[snapshot_id]
+    explicit = "snapshot_id" in options or "tag" in options
+    schema_id = (
+        snap.get("schema_id", meta["current_schema_id"])
+        if explicit
+        else meta["current_schema_id"]
+    )
+    struct = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == schema_id)
+    return snapshot_id, snap, struct
+
+
 class _BucketPartition(InputPartition):
     def __init__(self, bucket: int, base_files: list[str], delta_files: list[str]):
         self.bucket = bucket
@@ -155,30 +187,16 @@ class SnapshotTableReader(DataSourceReader):
     def __init__(self, options: dict, meta: dict):
         self.root = options["root"]
         self.meta = meta
-        sid = options.get("snapshot_id")
-        tag = options.get("tag")
-        if tag is not None:
-            refs = meta.get("refs", {})
-            if tag not in refs:
-                raise KeyError(f"tag {tag!r} not found (known: {sorted(refs)})")
-            sid = refs[tag]["snapshot_id"]
-        self.snapshot_id = int(sid) if sid is not None else meta["current_snapshot_id"]
+        self.snapshot_id, self.snap, self.schema_json = _resolve_snapshot_schema(meta, options)
         self.include_tombstones = str(options.get("include_tombstones", "false")).lower() == "true"
         self.key_cols = meta["key_cols"]
         self.order_col = meta["order_col"]
-        self.num_buckets = meta["num_buckets"]
+        # bucket spec is per-snapshot (rebucketing rewrites under a new
+        # count; time travel must prune with the count the files were
+        # written under)
+        self.num_buckets = self.snap.get("num_buckets", meta["num_buckets"])
         self._pruned_bucket: int | None = None
         self._stats_filters: list[tuple] = []
-        snaps = {s["snapshot_id"]: s for s in meta["snapshots"]}
-        if self.snapshot_id not in snaps:
-            raise KeyError(f"snapshot {self.snapshot_id} not found (expired or never existed)")
-        self.snap = snaps[self.snapshot_id]
-        sid = self.snap.get("schema_id", meta["current_schema_id"])
-        # Iceberg semantics: time travel reads the snapshot's OWN schema;
-        # the plain read uses the current one
-        if "snapshot_id" not in options and "tag" not in options:
-            sid = meta["current_schema_id"]
-        self.schema_json = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == sid)
 
     # -------------------------------------------------------- planning
     _FILTER_OPS = (
@@ -205,7 +223,13 @@ class SnapshotTableReader(DataSourceReader):
             for f in filters
             if isinstance(f, EqualTo) and len(f.attribute) == 1 and isinstance(f.value, str)
         }
-        if all(k in eq for k in self.key_cols):
+        # Pin the bucket ONLY when every key column is declared string:
+        # hashing a str literal against a non-string key column would hash
+        # the wrong bytes (Spark matches via implicit cast) and silently
+        # prune to the wrong bucket.
+        col_types = {f["name"]: f["type"] for f in self.schema_json["fields"]}
+        keys_are_strings = all(col_types.get(k) == "string" for k in self.key_cols)
+        if keys_are_strings and all(k in eq for k in self.key_cols):
             self._pruned_bucket = bucket_of([eq[k] for k in self.key_cols], self.num_buckets)
         for f in filters:
             for klass, op in self._FILTER_OPS:
@@ -311,13 +335,7 @@ class SnapshotTableDataSource(DataSource):
 
     def schema(self) -> StructType:
         meta = _load_meta(self.options["root"])
-        sid = meta["current_schema_id"]
-        if "snapshot_id" in self.options:
-            snap = next(
-                s for s in meta["snapshots"] if s["snapshot_id"] == int(self.options["snapshot_id"])
-            )
-            sid = snap.get("schema_id", sid)
-        struct = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == sid)
+        _sid, _snap, struct = _resolve_snapshot_schema(meta, dict(self.options))
         full = StructType.fromJson(struct)
         if str(self.options.get("include_tombstones", "false")).lower() == "true":
             return full

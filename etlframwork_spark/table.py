@@ -312,10 +312,20 @@ class SnapshotTable:
         filters = validate_filters(filters) if filters else []
         if buckets is None and filters:
             eq = {c: v for c, op, v in filters if op == "=" and isinstance(v, str)}
-            if all(k in eq for k in self.key_cols):
+            # Pin the bucket ONLY when every key column is declared string:
+            # a str filter value on (say) a bigint key would hash the UTF-8
+            # bytes of "5" (wrong bucket) while Spark's re-applied predicate
+            # still matches via implicit cast — silently empty results.
+            # Skipping the pin is always safe (just a wider scan).
+            from pyspark.sql.types import StringType
+
+            types = {f.name: f.dataType for f in self.schema().fields}
+            keys_are_strings = all(isinstance(types.get(k), StringType) for k in self.key_cols)
+            if keys_are_strings and all(k in eq for k in self.key_cols):
                 from .sources.snapshot_datasource import bucket_of
 
-                buckets = [bucket_of([eq[k] for k in self.key_cols], self.num_buckets)]
+                nb = self.snapshot(snapshot_id).get("num_buckets", self.num_buckets)
+                buckets = [bucket_of([eq[k] for k in self.key_cols], nb)]
         clean_b, dirty_b = self._split_buckets_for_read(buckets, snapshot_id)
         clean_files = self.files_for(buckets=clean_b, snapshot_id=snapshot_id) if clean_b else []
         dirty_files = self.files_for(buckets=dirty_b, snapshot_id=snapshot_id) if dirty_b else []
@@ -352,6 +362,13 @@ class SnapshotTable:
                 raise ValueError("pass snapshot_id or tag, not both")
             snapshot_id = self.resolve_tag(tag)
         if schema is None:
+            if schema_id is None and snapshot_id is not None:
+                # Iceberg time travel: an explicitly pinned snapshot (id or
+                # tag) reads its OWN schema — matching the DSv2 surface; a
+                # plain read uses the current registry schema
+                schema_id = self.snapshot(snapshot_id).get(
+                    "schema_id", self.meta["current_schema_id"]
+                )
             sid = self.meta["current_schema_id"] if schema_id is None else schema_id
             schema = self.schema(sid)
         # merge-on-read: delta files may carry newer versions of keys in the

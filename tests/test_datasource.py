@@ -129,3 +129,28 @@ def test_key_equality_filters_prune_to_one_bucket(spark, tmp_path):
     expect = table.read(spark).filter((F.col("repo") == repo) & (F.col("path") == path))
     assert _rows(via_ds) == _rows(expect)
     assert via_ds.count() == 1
+
+
+def test_tag_read_uses_tagged_snapshot_schema(spark, tmp_path):
+    """Round-3 ADVICE: schema() must resolve a tag to the TAGGED snapshot's
+    schema — a tag set before an additive evolution reads back in the old
+    schema (no phantom new column), identical to table.read(tag=...)."""
+    from etlframwork_spark.events import CDC_EVOLVED_SCHEMA
+
+    table = _mk_table(spark, tmp_path, n_events=400)
+    table.set_tag("pre-evolution")
+    # evolve: merge a batch that carries the additive `lang` column
+    spec = EventLogSpec(seed=9, n_events=200, n_repos=12, paths_per_repo=6, p_delete=0.1)
+    pdf = _make_events_frame(spec)
+    merge_batch(
+        spark, table, spark.createDataFrame(pdf, schema=CDC_EVOLVED_SCHEMA),
+        job_id="ds", epoch_id=99,
+    )
+    assert "lang" in table.schema().fieldNames()
+    _register(spark)
+    via_ds = (
+        spark.read.format("snapshot_table").option("root", table.root)
+        .option("tag", "pre-evolution").load()
+    )
+    assert "lang" not in via_ds.columns  # planned with the tagged schema
+    assert _rows(via_ds) == _rows(table.read(spark, tag="pre-evolution"))

@@ -204,3 +204,26 @@ def test_merge_crash_before_commit_leaves_state_unchanged(spark, tmp_path):
     merge_batch(spark, table, rest, epoch_id=1)
     oracle = {k: dict(v, lang=None) for k, v in apply_oracle(pdf.assign(lang=None)).items()}
     _assert_state_equal(spark, table, oracle)
+
+
+def test_empty_single_pass_epoch_leaves_no_orphan_dir(tmp_path, spark):
+    """Round-3 ADVICE: an empty epoch on the mor single-pass path used to
+    run the (empty) write and leave an uncommitted snap-* data dir behind —
+    one per empty epoch of a long stream. It must clean up after itself."""
+    import os
+
+    from etlframwork_spark.events import TARGET_BASE_SCHEMA
+
+    table = SnapshotTable.create(
+        str(tmp_path / "t"), TARGET_BASE_SCHEMA, key_cols=["repo", "path"],
+        order_col="lsn", num_buckets=4,
+    )
+    empty = spark.createDataFrame([], CDC_BASE_SCHEMA)
+    out = merge_batch(spark, table, empty, job_id="e", epoch_id=0, write_mode="mor", resolve="raw")
+    assert out["events"] == 0 and out["snapshot_id"] is not None
+    data_root = os.path.join(table.root, "data")
+    leftovers = [d for d in os.listdir(data_root) if d.startswith("snap-")]
+    assert leftovers == [], f"orphan data dirs from empty epoch: {leftovers}"
+    # re-delivery of the empty epoch stays a fenced no-op
+    again = merge_batch(spark, table, empty, job_id="e", epoch_id=0, write_mode="mor", resolve="raw")
+    assert again.get("skipped")

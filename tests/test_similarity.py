@@ -153,3 +153,45 @@ def test_ivf_assignment_is_deterministic_and_bounded(spark):
     assert a1 == a2
     for cells in a1.values():
         assert len(cells) == 2 and all(0 <= c < IVF_CELLS for c in cells)
+
+
+def test_ivf_gate_falls_back_to_seeded_on_isotropic_corpus(spark, sf_dir):
+    """Round-3 verdict #4: the registered IVF query must never knowingly
+    use a weaker-than-seeded configuration. On the driver's near-isotropic
+    embeddings the cluster-structure gate rejects the fit and returns the
+    seeded planes bit-for-bit, so trained-or-fallback recall >= seeded by
+    construction."""
+    from etlframwork_spark.functions.similarity import (
+        EMBEDDING_DIM,
+        _ivf_centroids,
+        train_ivf_centroids,
+    )
+    from etlframwork_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = train_ivf_centroids(emb, sample_mod=1)
+    assert np.array_equal(got, _ivf_centroids(EMBEDDING_DIM)), (
+        "isotropic corpus must gate to the seeded planes"
+    )
+
+
+def test_ivf_gate_keeps_trained_on_clustered_corpus(spark):
+    from etlframwork_spark.functions.similarity import _ivf_centroids, train_ivf_centroids
+
+    rows = _clustered(n_clusters=12, per_cluster=8, dim=32, seed=3)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = train_ivf_centroids(df, sample_mod=1)
+    assert not np.array_equal(got, _ivf_centroids(32)), (
+        "clustered corpus must keep the trained centroids"
+    )
+
+
+def test_train_ivf_empty_sample_returns_seeded(spark):
+    """Round-3 ADVICE: an empty hash sample (tiny corpus, nothing hashes to
+    0 mod sample_mod) must fall back to the seeded planes, not crash."""
+    from etlframwork_spark.functions.similarity import _ivf_centroids, train_ivf_centroids
+
+    rows = _clustered(n_clusters=2, per_cluster=2, dim=16, seed=1)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = train_ivf_centroids(df, sample_mod=10**9, dim=16)
+    assert np.array_equal(got, _ivf_centroids(16))

@@ -128,3 +128,37 @@ def test_stream_auto_expires_metadata(spark, tmp_path):
     # 8 commits happened, but expiry at epochs 3 and 6 trimmed history
     assert len(table.meta["snapshots"]) <= 2 + 2  # kept + commits since last expiry
     assert table.read(spark).count() > 0
+
+
+def test_sql_literal_quoting_and_rejection():
+    """Round-3 ADVICE: watermark literals must be portable SQL, escaped."""
+    import pytest
+
+    from etlframwork_spark.sources.jdbc import sql_literal
+
+    assert sql_literal(42) == "42"
+    assert sql_literal(3.5) == "3.5"
+    assert sql_literal("2026-01-01 00:00:00") == "'2026-01-01 00:00:00'"
+    assert sql_literal("O'Brien") == "'O''Brien'"
+    assert sql_literal("a'; DROP TABLE t; --") == "'a''; DROP TABLE t; --'"
+    for bad in (True, None, [1], {"a": 1}):
+        with pytest.raises(TypeError):
+            sql_literal(bad)
+
+
+def test_watermark_subquery_uses_escaped_literal(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etlframwork_spark.sources.jdbc import JdbcSource
+
+    src = JdbcSource(
+        url="jdbc:postgresql://db:5432/wh",
+        table="events",
+        expected_schema=StructType([StructField("id", LongType())]),
+        watermark_column="updated_at",
+    )
+    assert (
+        src.effective_table("2026-01-01T00:00:00")
+        == "(SELECT * FROM events WHERE updated_at > '2026-01-01T00:00:00') _incr"
+    )
+    assert "''" in src.effective_table("it's")

@@ -311,3 +311,37 @@ def test_tag_of_missing_snapshot_and_conflicting_args(tmp_path, spark):
     assert t.tags()["v1"] == s1["snapshot_id"]
     with pytest.raises(ValueError):
         t.read(spark, snapshot_id=s1["snapshot_id"], tag="v1")
+
+
+def test_non_string_key_filter_skips_bucket_pin(tmp_path, spark):
+    """Round-3 ADVICE: a str equality value on a NON-string key column must
+    not pin a bucket (the string hashes to the wrong bucket while Spark's
+    re-applied predicate still matches via implicit cast — silently empty
+    results). The pin is skipped; the scan stays bucket-wide and correct."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.merge import merge_batch
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("val", StringType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "intkey"), schema, key_cols=["id"], order_col="lsn", num_buckets=8
+    )
+    batch = spark.createDataFrame(
+        [(i, i, f"v{i}") for i in range(40)], schema
+    ).withColumn("op", F.lit("insert"))
+    merge_batch(spark, t, batch, job_id="ik", epoch_id=0)
+
+    # no pin: the filtered scan still plans every occupied bucket's files
+    clean, dirty = t.scan_files(filters=[("id", "=", "5")])
+    all_clean, _ = t.scan_files()
+    assert set(clean) == set(all_clean), "non-string key must not bucket-pin"
+    # and the read is correct (one row, id=5), not silently empty
+    rows = t.read(spark, filters=[("id", "=", "5")]).collect()
+    assert [(r["id"], r["val"]) for r in rows] == [(5, "v5")]
