@@ -43,6 +43,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -51,8 +52,9 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 # ------------------------------------------------------------- xxhash64
 # Pure-Python XXH64 matching Spark's `xxhash64` on strings (UTF-8 bytes,
@@ -326,15 +328,212 @@ class SnapshotTableReader(DataSourceReader):
             yield batch
 
 
+# ------------------------------------------------------------ the writer
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, files_by_bucket: dict[int, list[str]]):
+        self.files_by_bucket = files_by_bucket
+
+
+class SnapshotTableWriter(DataSourceArrowWriter):
+    """DSv2 batch writer: ``df.write.format("snapshot_table")`` — the SQL/
+    interop DML surface (round-3 verdict #2: the source was read-only).
+
+    Semantics are **MERGE-shaped upsert**, not blind append: every task
+    splits its Arrow batches by the table's key-hash bucket and writes
+    per-bucket parquet DELTA files; ``commit()`` publishes them through
+    ``SnapshotTable.commit(mode="append_delta")`` — the same CAS +
+    epoch-fence metadata path every other writer uses — and the table's
+    read-time LWW resolve (ordered by the order column) makes the new
+    rows upserts against stored state. This is exactly
+    ``merge_batch(write_mode="mor", resolve="raw")``'s shape, pinned
+    digest-identical in tests/test_datasource.py.
+
+    Options: ``root`` (required), ``fence`` (optional — idempotent
+    re-delivery key, e.g. ``"job:epoch"``). Additive schema evolution is
+    resolved at commit like merge_batch. Failed jobs ``abort()`` by
+    deleting the written files; an abandoned dir is invisible to readers
+    (manifest is the source of truth) and vacuum() collects it.
+
+    Scale/fit: rows cross the Python worker as Arrow batches (like the
+    reader); per-row key hashing is pure-Python xxhash64 — fine for the
+    interop surface, while the ingest hot path stays on merge_batch
+    (JVM-side bucket_expr). The task-level bucket split preserves the
+    invariant that every delta file belongs to ONE bucket, which is what
+    keeps the bucket-local MOR resolve sound.
+    """
+
+    def __init__(self, options: dict, meta: dict, write_schema: StructType, root: str):
+        import uuid as _uuid
+
+        self.root = root
+        self.meta = meta
+        self.key_cols = meta["key_cols"]
+        self.order_col = meta["order_col"]
+        self.num_buckets = meta["num_buckets"]
+        self.fence = options.get("fence")
+        self.write_schema = write_schema
+        # driver-chosen unique dir; tasks write under it, commit publishes
+        self.data_rel = os.path.join("data", f"snap-{_uuid.uuid4().hex[:12]}")
+        table_schema = StructType.fromJson(
+            next(
+                s["struct"]
+                for s in meta["schemas"]
+                if s["schema_id"] == meta["current_schema_id"]
+            )
+        )
+        table_types = {f.name: f.dataType for f in table_schema.fields}
+        for k in [*self.key_cols, self.order_col]:
+            if k not in write_schema.fieldNames():
+                raise ValueError(
+                    f"snapshot_table write is a keyed upsert: column {k!r} "
+                    f"(key/order) is required in the written data, got "
+                    f"{write_schema.fieldNames()}"
+                )
+        if not all(table_types[k].typeName() == "string" for k in self.key_cols):
+            raise ValueError(
+                "snapshot_table DSv2 writes require string key columns "
+                "(the Python-side bucket hash matches Spark's xxhash64 on "
+                "strings); use merge_batch for non-string keys"
+            )
+        drift = [
+            n
+            for n in write_schema.fieldNames()
+            if n in table_types and write_schema[n].dataType != table_types[n]
+        ]
+        if drift:
+            raise TypeError(
+                f"write schema type drift vs table schema on {drift} — additive "
+                "evolution only (new nullable columns); refusing the write"
+            )
+        # additive evolution resolved here (commit carries the new schema)
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in write_schema.fields
+            if f.name not in table_types
+        ]
+        self.evolved_schema = (
+            StructType(table_schema.fields + new_fields) if new_fields else None
+        )
+        # the per-row invariant column: derive sha256(content) when the
+        # table tracks it and the writer didn't supply it (merge_batch
+        # parity — SQL INSERT rows arrive without it)
+        self.derive_sha = (
+            "content_sha256" in table_types
+            and "content" in write_schema.fieldNames()
+            and "content_sha256" not in write_schema.fieldNames()
+        )
+
+    def write(self, iterator) -> _WriteMessage:
+        import hashlib
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        by_bucket: dict[int, list] = {}
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if self.derive_sha:
+                shas = pa.array(
+                    [
+                        None if c is None else hashlib.sha256(c.encode("utf-8")).hexdigest()
+                        for c in tbl.column("content").to_pylist()
+                    ],
+                    type=pa.string(),
+                )
+                tbl = tbl.append_column("content_sha256", shas)
+            keys = [tbl.column(k).to_pylist() for k in self.key_cols]
+            buckets = pa.array(
+                [bucket_of(list(vals), self.num_buckets) for vals in zip(*keys)],
+                type=pa.int32(),
+            )
+            import pyarrow.compute as pc
+
+            for b in pc.unique(buckets).to_pylist():
+                by_bucket.setdefault(b, []).append(tbl.filter(pc.equal(buckets, b)))
+        files: dict[int, list[str]] = {}
+        for b, tables in by_bucket.items():
+            bdir = os.path.join(self.root, self.data_rel, f"_bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            rel = os.path.join(self.data_rel, f"_bucket={b}", f"part-{_uuid.uuid4().hex}.zstd.parquet")
+            pq.write_table(
+                pa.concat_tables(tables), os.path.join(self.root, rel), compression="zstd"
+            )
+            files[b] = [rel]
+        return _WriteMessage(files)
+
+    def commit(self, messages) -> None:
+        from ..table import SnapshotTable
+
+        files_by_bucket: dict[int, list[str]] = {}
+        for m in messages:
+            if m is None:
+                continue
+            for b, fs in m.files_by_bucket.items():
+                files_by_bucket.setdefault(int(b), []).extend(fs)
+        table = SnapshotTable.load(self.root)
+        if self.fence is not None and table.is_fence_committed(self.fence):
+            self.abort(messages)  # duplicate delivery: drop our files
+            return
+        table.commit(
+            files_by_bucket,
+            sorted(files_by_bucket),
+            fence=self.fence,
+            new_schema=self.evolved_schema,
+            summary={"operation": "dsv2_append", "files": sum(len(v) for v in files_by_bucket.values())},
+            mode="append_delta",
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, self.data_rel), ignore_errors=True)
+
+
 class SnapshotTableDataSource(DataSource):
-    """``spark.read.format("snapshot_table")`` over a SnapshotTable root."""
+    """``spark.read.format("snapshot_table")`` over a SnapshotTable root,
+    and ``df.write.format("snapshot_table").mode("append")`` for
+    MERGE-shaped upserts (see SnapshotTableWriter).
+
+    SQL catalog note, verified on this Spark build: ``CREATE TABLE ...
+    USING snapshot_table OPTIONS(...)`` parses, and ``INSERT INTO`` on it
+    routes to this writer — but the catalog does NOT forward the table's
+    OPTIONS (or LOCATION) to Python data sources, so the writer/reader
+    receive an empty options map and fail with the actionable error below
+    (pinned in tests). The DataFrame read/write paths forward options
+    correctly and are the supported surface.
+    """
+
+    _NO_ROOT = (
+        "snapshot_table needs option 'root'. Note: this Spark build does not "
+        "forward CREATE TABLE OPTIONS/LOCATION to Python data sources, so "
+        "SQL catalog tables over snapshot_table cannot carry the table root "
+        "— use spark.read.format('snapshot_table').option('root', ...) and "
+        "df.write.format('snapshot_table').option('root', ...).mode('append')"
+    )
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_table"
 
+    def _root(self) -> str:
+        root = self.options.get("root")
+        if not root:
+            raise ValueError(self._NO_ROOT)
+        return root
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotTableWriter:
+        if overwrite:
+            raise ValueError(
+                "snapshot_table supports mode='append' only (append IS an "
+                "upsert here: read-time LWW resolves new rows against stored "
+                "keys); full rewrites go through compaction/maintenance"
+            )
+        root = self._root()
+        return SnapshotTableWriter(dict(self.options), _load_meta(root), schema, root)
+
     def schema(self) -> StructType:
-        meta = _load_meta(self.options["root"])
+        meta = _load_meta(self._root())
         _sid, _snap, struct = _resolve_snapshot_schema(meta, dict(self.options))
         full = StructType.fromJson(struct)
         if str(self.options.get("include_tombstones", "false")).lower() == "true":
@@ -342,4 +541,4 @@ class SnapshotTableDataSource(DataSource):
         return StructType([f for f in full.fields if f.name != "_deleted"])
 
     def reader(self, schema: StructType) -> SnapshotTableReader:
-        return SnapshotTableReader(dict(self.options), _load_meta(self.options["root"]))
+        return SnapshotTableReader(dict(self.options), _load_meta(self._root()))

@@ -154,3 +154,113 @@ def test_tag_read_uses_tagged_snapshot_schema(spark, tmp_path):
     )
     assert "lang" not in via_ds.columns  # planned with the tagged schema
     assert _rows(via_ds) == _rows(table.read(spark, tag="pre-evolution"))
+
+
+# ------------------------------------------------------------ DSv2 writer
+def _event_chunks(seed=11, n_events=900):
+    """Two insert/update-only chunks (the SQL INSERT surface has no op)."""
+    spec = EventLogSpec(seed=seed, n_events=n_events, n_repos=10, paths_per_repo=5, p_delete=0.0)
+    pdf = _make_events_frame(spec).drop(columns=["lang"])
+    half = len(pdf) // 2
+    return pdf.iloc[:half], pdf.iloc[half:]
+
+
+def _new_table(tmp_path, name):
+    return SnapshotTable.create(
+        str(tmp_path / name), TARGET_BASE_SCHEMA, key_cols=["repo", "path"],
+        order_col="lsn", num_buckets=8,
+    )
+
+
+def test_dsv2_write_upsert_digest_equals_merge_batch(spark, tmp_path):
+    """round-3 verdict #2: the DSv2 writer is MERGE-shaped — appending via
+    df.write.format("snapshot_table") lands per-bucket delta files through
+    the fenced commit path and the read-time LWW makes it an upsert,
+    state-identical to merge_batch(write_mode='mor', resolve='raw')."""
+    _register(spark)
+    a, b = _new_table(tmp_path, "a"), _new_table(tmp_path, "b")
+    for i, chunk in enumerate(_event_chunks()):
+        merge_batch(
+            spark, a, spark.createDataFrame(chunk, schema=CDC_BASE_SCHEMA),
+            job_id="m", epoch_id=i, write_mode="mor", resolve="raw",
+        )
+        (
+            spark.createDataFrame(chunk.drop(columns=["op"]))
+            .write.format("snapshot_table")
+            .option("root", b.root).option("fence", f"m:{i}")
+            .mode("append").save()
+        )
+    b.refresh()
+    assert b.has_deltas()  # landed as merge-on-read deltas
+    assert _rows(a.read(spark)) == _rows(b.read(spark))
+    # the delta files are per-bucket (bucket-local MOR soundness invariant)
+    import pyarrow.parquet as pq
+
+    for bucket, files in b.snapshot().get("delta_files", {}).items():
+        for f in files:
+            t = pq.read_table(f"{b.root}/{f}", columns=["repo", "path"])
+            got = {
+                bucket_of([r, p], b.num_buckets)
+                for r, p in zip(t.column("repo").to_pylist(), t.column("path").to_pylist())
+            }
+            assert got == {int(bucket)}, f"delta file {f} spans buckets {got}"
+
+
+def test_dsv2_write_fence_is_idempotent(spark, tmp_path):
+    _register(spark)
+    t = _new_table(tmp_path, "f")
+    chunk, _ = _event_chunks(seed=3, n_events=200)
+    df = spark.createDataFrame(chunk.drop(columns=["op"]))
+    w = (
+        df.write.format("snapshot_table")
+        .option("root", t.root).option("fence", "job:0").mode("append")
+    )
+    w.save()
+    t.refresh()
+    snap1 = t.snapshot()["snapshot_id"]
+    files1 = t.files_for()
+    w.save()  # duplicate delivery: fenced no-op, files dropped
+    t.refresh()
+    assert t.snapshot()["snapshot_id"] == snap1
+    assert t.files_for() == files1
+    # orphan dir from the duplicate was cleaned by the writer's abort path
+    import os
+
+    dirs = {d for d in os.listdir(os.path.join(t.root, "data")) if d.startswith("snap-")}
+    live = {f.split("/")[1] for f in [os.path.relpath(p, t.root) for p in files1]}
+    assert dirs == live
+
+
+def test_dsv2_write_additive_evolution(spark, tmp_path):
+    _register(spark)
+    t = _new_table(tmp_path, "e")
+    chunk, _ = _event_chunks(seed=5, n_events=200)
+    pdf = chunk.drop(columns=["op"]).assign(lang="rust")
+    spark.createDataFrame(pdf).write.format("snapshot_table").option(
+        "root", t.root
+    ).mode("append").save()
+    t.refresh()
+    assert "lang" in t.schema().fieldNames()
+    assert t.read(spark).filter(F.col("lang") == "rust").count() == t.read(spark).count()
+
+
+def test_dsv2_write_actionable_errors(spark, tmp_path):
+    _register(spark)
+    t = _new_table(tmp_path, "err")
+    chunk, _ = _event_chunks(seed=7, n_events=60)
+    df = spark.createDataFrame(chunk.drop(columns=["op"]))
+    # overwrite unsupported
+    with pytest.raises(Exception, match="append"):
+        df.write.format("snapshot_table").option("root", t.root).mode("overwrite").save()
+    # missing root -> the SQL-catalog limitation message
+    with pytest.raises(Exception, match="root"):
+        df.write.format("snapshot_table").mode("append").save()
+    # missing order column
+    with pytest.raises(Exception, match="lsn"):
+        df.drop("lsn").write.format("snapshot_table").option("root", t.root).mode("append").save()
+    # SQL catalog tables cannot carry options on this build: pinned loudly
+    with pytest.raises(Exception, match="root"):
+        spark.sql(
+            f"CREATE TABLE sql_snap(repo STRING) USING snapshot_table OPTIONS (root '{t.root}')"
+        )
+        spark.sql("INSERT INTO sql_snap VALUES ('x')")
