@@ -478,8 +478,15 @@ class SnapshotTable:
         summary: dict[str, Any] | None = None,
         mode: str = "replace",
         validate_from_snapshot: int | None = None,
+        new_num_buckets: int | None = None,
     ) -> dict[str, Any] | None:
         """Atomically commit a new snapshot.
+
+        ``new_num_buckets`` evolves the table's bucket spec (rebucketing,
+        maintenance.rebucket): the commit must replace EVERY bucket (its
+        files were written under the new hash), and per-snapshot specs
+        keep time travel honest — each snapshot records the bucket count
+        its files were written under.
 
         ``mode='replace'`` (copy-on-write / compaction): every bucket in
         ``changed_buckets`` gets its BASE file set replaced by
@@ -537,7 +544,7 @@ class SnapshotTable:
                     )
                 return self._commit_once(
                     changed_files_by_bucket, changed_buckets, fence, new_schema, summary, mode,
-                    new_stats,
+                    new_stats, new_num_buckets,
                 )
             except VersionConflict:
                 continue
@@ -572,6 +579,7 @@ class SnapshotTable:
         summary: dict[str, Any] | None,
         mode: str,
         new_stats: dict[str, dict[str, Any]] | None = None,
+        new_num_buckets: int | None = None,
     ) -> dict[str, Any] | None:
         # NOTE: caller (the retry loop) has already refreshed and validated
         # against THIS metadata state; refreshing again here would open a
@@ -589,6 +597,25 @@ class SnapshotTable:
                     {"schema_id": schema_id, "struct": new_schema.jsonValue()}
                 )
                 self.meta["current_schema_id"] = schema_id
+
+        if new_num_buckets is not None and int(new_num_buckets) != self.meta["num_buckets"]:
+            # bucket-spec evolution: the caller rewrote EVERY bucket under
+            # the new hash. Backfill per-snapshot specs first — snapshots
+            # without the key default to meta["num_buckets"], which is
+            # about to change out from under them.
+            old_nb = self.meta["num_buckets"]
+            covered = {str(int(b)) for b in changed_buckets}
+            parent = self.snapshot()
+            stale = (set(parent["files"]) | {
+                b for b, fs in parent.get("delta_files", {}).items() if fs
+            }) - covered
+            if stale:
+                raise ValueError(
+                    f"rebucket commit must replace every bucket; missing {sorted(stale)}"
+                )
+            for s in self.meta["snapshots"]:
+                s.setdefault("num_buckets", old_nb)
+            self.meta["num_buckets"] = int(new_num_buckets)
 
         parent = self.snapshot()
         files = {b: list(fs) for b, fs in parent["files"].items()}
@@ -614,6 +641,7 @@ class SnapshotTable:
             "snapshot_id": new_id,
             "parent_id": parent["snapshot_id"],
             "schema_id": schema_id,
+            "num_buckets": self.meta["num_buckets"],
             "files": files,
             "delta_files": {b: fs for b, fs in deltas.items() if fs},
             "summary": summary or {},
