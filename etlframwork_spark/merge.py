@@ -233,6 +233,7 @@ def merge_batch(
     quarantine_dir: str | None = None,
     write_mode: str = "cow",
     fault_injector: Callable[[str], None] | None = None,
+    branch: str | None = None,
 ) -> dict[str, Any]:
     """Apply one micro-batch of CDC events to the table, exactly once.
 
@@ -243,6 +244,10 @@ def merge_batch(
         bucket DELTA files — no stored-table read, no rewrite; reads
         resolve LWW across base+deltas until compaction folds them
         (maintenance.compact_buckets). The at-scale ingest fast path.
+
+    ``branch``: write-audit-publish — the merge reads stored rows from and
+    commits to the named branch head; main is untouched until
+    ``table.fast_forward(branch)`` publishes.
 
     Returns a summary dict; ``{"skipped": True}`` when the epoch fence was
     already committed (idempotent re-delivery, BJ:6).
@@ -261,8 +266,18 @@ def merge_batch(
     # snapshot this cow rewrite READS from — commit validates the affected
     # buckets are unchanged since (Iceberg-style conflict detection; a
     # concurrent writer to the same bucket must fail the commit, not lose
-    # its rows under our rewrite)
-    read_snapshot = table.snapshot()["snapshot_id"] if write_mode == "cow" else None
+    # its rows under our rewrite). Branch merges read the BRANCH head.
+    if branch is not None and branch not in table.branches():
+        raise KeyError(
+            f"branch {branch!r} not found — create_branch first "
+            f"(known branches: {sorted(table.branches())})"
+        )
+    head_snapshot = table.resolve_tag(branch) if branch is not None else None
+    read_snapshot = (
+        (head_snapshot if branch is not None else table.snapshot()["snapshot_id"])
+        if write_mode == "cow"
+        else None
+    )
 
     key_cols = table.key_cols
 
@@ -329,7 +344,9 @@ def merge_batch(
         summary.update(events=n_events, deletes=n_deletes, affected_buckets=len(affected))
         if n_events == 0:
             # still commit the fence so re-delivery of an empty epoch is a no-op
-            snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
+            snap = table.commit(
+                {}, [], fence=fence, summary={**summary, "operation": "noop"}, branch=branch
+            )
             summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
             summary["skipped"] = snap is None
             summary["timings"] = timings
@@ -357,7 +374,13 @@ def merge_batch(
     if write_mode == "mor":
         unioned = ev_aligned
     else:
-        stored = table.read(spark, buckets=affected, schema=schema, include_tombstones=True)
+        stored = table.read(
+            spark,
+            buckets=affected,
+            schema=schema,
+            include_tombstones=True,
+            snapshot_id=head_snapshot,
+        )
         stored_aligned = stored.select(*all_cols).withColumn("op", F.lit(_STORED))
         unioned = ev_aligned.unionByName(stored_aligned)
 
@@ -457,7 +480,9 @@ def merge_batch(
             import shutil
 
             shutil.rmtree(data_dir, ignore_errors=True)
-            snap = table.commit({}, [], fence=fence, summary={**summary, "operation": "noop"})
+            snap = table.commit(
+                {}, [], fence=fence, summary={**summary, "operation": "noop"}, branch=branch
+            )
             summary["snapshot_id"] = None if snap is None else snap["snapshot_id"]
             summary["skipped"] = snap is None
             summary["timings"] = timings
@@ -474,6 +499,7 @@ def merge_batch(
         summary={**summary, "operation": f"merge_{write_mode}", "timings": timings},
         mode="append_delta" if write_mode == "mor" else "replace",
         validate_from_snapshot=read_snapshot,
+        branch=branch,
     )
     if snap is None:  # fence raced us — our files are orphans, vacuum later
         summary["skipped"] = True

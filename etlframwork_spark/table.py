@@ -455,10 +455,92 @@ class SnapshotTable:
         }
 
     def resolve_tag(self, name: str) -> int:
+        """Resolve a named ref — tag OR branch — to its snapshot id
+        (``read(tag=...)`` therefore reads branch state too: the
+        write-audit-publish audit query)."""
         refs = self.meta.get("refs", {})
         if name not in refs:
             raise KeyError(f"tag {name!r} not found (known: {sorted(refs)})")
         return refs[name]["snapshot_id"]
+
+    # ----------------------------------------------------------- branches
+    # Write-audit-publish (Iceberg branch/WAP concept): commits can target
+    # a named branch instead of main — the branch ref advances while
+    # current_snapshot_id (what plain reads see) stays put. Audit queries
+    # read the branch by name; fast_forward() publishes it atomically.
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create a branch pointing at ``snapshot_id`` (default: current).
+        Branch heads are retention-exempt like tags."""
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                self.refresh()
+                refs = self.meta.setdefault("refs", {})
+                if name in refs:
+                    raise ValueError(f"ref {name!r} already exists ({refs[name]})")
+                sid = self.snapshot(snapshot_id)["snapshot_id"]
+                # base = where the branch was cut; fast_forward publishes
+                # only while main still sits at the base (descent check
+                # that survives snapshot expiry — a parent-id walk would
+                # break when intermediate snapshots are retired)
+                refs[name] = {"snapshot_id": sid, "type": "branch", "base_snapshot_id": sid}
+                self._write_version(self.version + 1)
+                return sid
+            except VersionConflict:
+                continue
+        raise VersionConflict("create_branch lost the metadata CAS repeatedly")
+
+    def drop_branch(self, name: str) -> None:
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                self.refresh()
+                refs = self.meta.get("refs", {})
+                if name not in refs or refs[name].get("type") != "branch":
+                    raise KeyError(f"branch {name!r} not found")
+                del refs[name]
+                self._write_version(self.version + 1)
+                return
+            except VersionConflict:
+                continue
+        raise VersionConflict("drop_branch lost the metadata CAS repeatedly")
+
+    def branches(self) -> dict[str, int]:
+        return {
+            n: r["snapshot_id"]
+            for n, r in self.meta.get("refs", {}).items()
+            if r.get("type") == "branch"
+        }
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: atomically move main (current_snapshot_id) to
+        the branch head. Requires main to be an ANCESTOR of the head —
+        i.e. nothing was committed to main since the branch was cut; a
+        diverged branch must be recomputed from fresh main, never
+        force-published over concurrent commits."""
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                self.refresh()
+                refs = self.meta.get("refs", {})
+                if name not in refs or refs[name].get("type") != "branch":
+                    raise KeyError(f"branch {name!r} not found")
+                head = refs[name]["snapshot_id"]
+                cur = self.meta["current_snapshot_id"]
+                if head == cur:
+                    return cur
+                base = refs[name].get("base_snapshot_id")
+                if base != cur:
+                    raise ValueError(
+                        f"branch {name!r} (head {head}, cut from {base}) does not "
+                        f"descend from main ({cur}) — main advanced since the "
+                        "branch was cut; fast-forward would drop those commits. "
+                        "Recompute the branch from current main instead."
+                    )
+                self.meta["current_snapshot_id"] = head
+                refs[name]["base_snapshot_id"] = head  # branch stays publishable
+                self._write_version(self.version + 1)
+                return head
+            except VersionConflict:
+                continue
+        raise VersionConflict("fast_forward lost the metadata CAS repeatedly")
 
     def is_fence_committed(self, fence: str) -> bool:
         return fence in self.meta["committed_fences"]
@@ -479,8 +561,15 @@ class SnapshotTable:
         mode: str = "replace",
         validate_from_snapshot: int | None = None,
         new_num_buckets: int | None = None,
+        branch: str | None = None,
     ) -> dict[str, Any] | None:
         """Atomically commit a new snapshot.
+
+        ``branch`` targets a named branch (write-audit-publish): the new
+        snapshot's parent is the BRANCH head, the branch ref advances, and
+        ``current_snapshot_id`` — what plain reads see — stays put until
+        ``fast_forward`` publishes. Conflict validation runs against the
+        branch head. Mutually exclusive with ``new_num_buckets``.
 
         ``new_num_buckets`` evolves the table's bucket spec (rebucketing,
         maintenance.rebucket): the commit must replace EVERY bucket (its
@@ -515,6 +604,8 @@ class SnapshotTable:
         """
         if mode not in ("replace", "append_delta"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        if branch is not None and new_num_buckets is not None:
+            raise ValueError("rebucketing commits must target main, not a branch")
         changed_buckets = list(changed_buckets)  # may be re-iterated on retry
         # Footer-derived per-file column bounds, computed ONCE (outside the
         # CAS retry loop — the files are immutable, their stats don't
@@ -533,7 +624,13 @@ class SnapshotTable:
         for _attempt in range(_MAX_COMMIT_RETRIES):
             try:
                 self.refresh()
-                state = self._bucket_state(changed_buckets)
+                base_sid = None
+                if branch is not None:
+                    refs = self.meta.get("refs", {})
+                    if branch not in refs or refs[branch].get("type") != "branch":
+                        raise KeyError(f"branch {branch!r} not found (create_branch first)")
+                    base_sid = refs[branch]["snapshot_id"]
+                state = self._bucket_state(changed_buckets, base_sid)
                 if baseline is None:
                     baseline = state
                 elif mode == "replace" and state != baseline:
@@ -544,7 +641,7 @@ class SnapshotTable:
                     )
                 return self._commit_once(
                     changed_files_by_bucket, changed_buckets, fence, new_schema, summary, mode,
-                    new_stats, new_num_buckets,
+                    new_stats, new_num_buckets, branch,
                 )
             except VersionConflict:
                 continue
@@ -580,6 +677,7 @@ class SnapshotTable:
         mode: str,
         new_stats: dict[str, dict[str, Any]] | None = None,
         new_num_buckets: int | None = None,
+        branch: str | None = None,
     ) -> dict[str, Any] | None:
         # NOTE: caller (the retry loop) has already refreshed and validated
         # against THIS metadata state; refreshing again here would open a
@@ -617,7 +715,12 @@ class SnapshotTable:
                 s.setdefault("num_buckets", old_nb)
             self.meta["num_buckets"] = int(new_num_buckets)
 
-        parent = self.snapshot()
+        # branch commits chain off the BRANCH head, not main
+        parent = (
+            self.snapshot()
+            if branch is None
+            else self.snapshot(self.meta["refs"][branch]["snapshot_id"])
+        )
         files = {b: list(fs) for b, fs in parent["files"].items()}
         deltas = {b: list(fs) for b, fs in parent.get("delta_files", {}).items()}
         for b in changed_buckets:
@@ -648,7 +751,10 @@ class SnapshotTable:
             "fence": fence,
         }
         self.meta["snapshots"].append(snap)
-        self.meta["current_snapshot_id"] = new_id
+        if branch is None:
+            self.meta["current_snapshot_id"] = new_id
+        else:
+            self.meta["refs"][branch]["snapshot_id"] = new_id
         if fence is not None:
             self.meta["committed_fences"][fence] = new_id
         if new_stats:
