@@ -18,6 +18,10 @@ Supported step types:
     sql             {"query", "name"}               -> temp view from SQL
     transform       {"input", "name", "select"/"filter"/"with_columns"}
     write_parquet   {"input", "path", "mode", "partition_by"}
+    write_jdbc      {"input", "url", "table", "staging_table"?, "driver"?,
+                    "batch_size"?, "num_partitions"?} -> staged warehouse
+                    load; result carries the atomic swap statements
+                    (sources/jdbc.JdbcWarehouseSink)
 
 A job JSON document is what ``main.py`` consumes under
 ``spark-submit --py-files engine.zip main.py job.json``.
@@ -157,6 +161,20 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
                 w = w.partitionBy(*step["partition_by"])
             w.parquet(step["path"])
             results[name] = {"type": kind, "path": step["path"]}
+        elif kind == "write_jdbc":
+            from ..sources.jdbc import JdbcWarehouseSink
+
+            sink = JdbcWarehouseSink(
+                url=step["url"],
+                table=step["table"],
+                staging_table=step.get("staging_table"),
+                driver=step.get("driver"),
+                batch_size=int(step.get("batch_size", 10_000)),
+                num_partitions=step.get("num_partitions"),
+                options=step.get("options", {}),
+            )
+            swap = sink.write(spark.table(step["input"]))
+            results[name] = {"type": kind, "table": step["table"], "swap_statements": swap}
         else:
             raise ValueError(f"unknown step type {kind!r}")
     return results

@@ -158,6 +158,100 @@ class JdbcSource:
         return df.select(*[f.name for f in self.expected_schema.fields])
 
 
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+
+
+@dataclass
+class JdbcWarehouseSink:
+    """Warehouse LOAD seam — the write twin of :class:`JdbcSource`.
+
+    The reference genre's load steps land transform outputs in relational
+    warehouses. A naive ``df.write.jdbc(mode="overwrite")`` drops and
+    reloads the LIVE table — readers see an empty or half-loaded table for
+    the duration of the load. This sink implements the standard
+    **staged-write + atomic-swap** pattern instead:
+
+    1. ``write()`` loads the DataFrame into a STAGING table (parallel
+       partitioned insert, one DB connection per partition, bounded by
+       ``num_partitions``; ``batchsize`` batches the inserts);
+    2. the returned ``swap_statements()`` — a transactional rename swap —
+       are executed by the caller through the warehouse's OWN client
+       (psql etc.): readers atomically flip from the old table to the
+       fully-loaded one. DDL cannot ride the Spark JDBC writer, which is
+       why the swap is handed back instead of executed here.
+
+    No DB server or driver jar exists in this sandbox; like JdbcSource,
+    the full plan construction is tested and the driver-missing failure
+    is actionable (exact spark-submit flags).
+    """
+
+    url: str
+    table: str
+    staging_table: str | None = None  # default: {table}__stg
+    driver: str | None = None
+    batch_size: int = 10_000
+    num_partitions: int | None = None  # bound on concurrent DB connections
+    options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.staging_table = self.staging_table or f"{self.table}__stg"
+        for ident in (self.table, self.staging_table):
+            if not _IDENT_RE.match(ident):
+                raise ValueError(
+                    f"unsafe table identifier {ident!r}: the swap DDL interpolates "
+                    "it — only [A-Za-z0-9_$] identifiers (optionally schema-"
+                    "qualified) are accepted"
+                )
+
+    def swap_statements(self) -> list[str]:
+        """The atomic publish, run via the warehouse's own client after a
+        successful staged load. Transactional rename swap (Postgres-style;
+        adjust RENAME syntax per dialect)."""
+        t, stg, old = self.table, self.staging_table, f"{self.table}__old"
+        return [
+            "BEGIN",
+            f"DROP TABLE IF EXISTS {old}",
+            f"ALTER TABLE IF EXISTS {t} RENAME TO {old.split('.')[-1]}",
+            f"ALTER TABLE {stg} RENAME TO {t.split('.')[-1]}",
+            "COMMIT",
+            f"DROP TABLE IF EXISTS {old}",
+        ]
+
+    def _writer(self, df: DataFrame):
+        if self.num_partitions is not None:
+            df = df.repartition(self.num_partitions)
+        w = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.staging_table)
+            .option("batchsize", self.batch_size)
+            .option("truncate", "false")
+            .mode("overwrite")  # staging table only — never the live one
+        )
+        if self.driver:
+            w = w.option("driver", self.driver)
+        for k, v in self.options.items():
+            w = w.option(k, v)
+        return w
+
+    def write(self, df: DataFrame) -> list[str]:
+        """Run the staged load; returns the swap statements to publish."""
+        try:
+            self._writer(df).save()
+        except Exception as e:
+            msg = str(e)
+            if "ClassNotFoundException" in msg or "No suitable driver" in msg:
+                raise RuntimeError(
+                    f"JDBC driver {self.driver or '(unset)'} not on the classpath. "
+                    "Launch with `spark-submit --packages <groupId>:<driver-artifact>:<version>` "
+                    "(e.g. org.postgresql:postgresql:42.7.3) or place the driver jar "
+                    "in $SPARK_HOME/jars, and set JdbcWarehouseSink.driver. The "
+                    "staged-write + swap plan is independent of the driver."
+                ) from e
+            raise
+        return self.swap_statements()
+
+
 def avro_reader(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Avro batch reader seam (explicit schema, like every other source).
 

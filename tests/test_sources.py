@@ -162,3 +162,50 @@ def test_watermark_subquery_uses_escaped_literal(spark):
         == "(SELECT * FROM events WHERE updated_at > '2026-01-01T00:00:00') _incr"
     )
     assert "''" in src.effective_table("it's")
+
+
+def test_jdbc_warehouse_sink_plan_and_actionable_failure(spark):
+    """Round-3 verdict #6: warehouse writer seam — staged write + atomic
+    swap plan construction, identifier safety, loud no-driver failure."""
+    import pytest
+
+    from etlframwork_spark.sources.jdbc import JdbcWarehouseSink
+
+    sink = JdbcWarehouseSink(
+        url="jdbc:postgresql://db:5432/wh", table="analytics.daily_rollup",
+        driver="org.postgresql.Driver", num_partitions=8,
+    )
+    assert sink.staging_table == "analytics.daily_rollup__stg"
+    swap = sink.swap_statements()
+    assert swap[0] == "BEGIN" and "COMMIT" in swap
+    assert f"ALTER TABLE {sink.staging_table} RENAME TO daily_rollup" in swap
+    assert swap[1] == "DROP TABLE IF EXISTS analytics.daily_rollup__old"
+
+    # unsafe identifiers are rejected at construction (DDL interpolation)
+    with pytest.raises(ValueError, match="unsafe"):
+        JdbcWarehouseSink(url="jdbc:x", table="t; DROP TABLE users")
+    with pytest.raises(ValueError, match="unsafe"):
+        JdbcWarehouseSink(url="jdbc:x", table="ok", staging_table='bad"name')
+
+    # no driver jar in the sandbox: the failure names the fix
+    df = spark.range(3)
+    with pytest.raises(Exception, match="spark-submit --packages|driver"):
+        sink.write(df)
+
+
+def test_write_jdbc_job_step_fails_actionably(spark):
+    import pytest
+
+    from etlframwork_spark.plans.job import JobSpec, run_job
+
+    spark.range(2).createOrReplaceTempView("to_load")
+    spec = JobSpec(
+        job_id="wh",
+        steps=[{
+            "type": "write_jdbc", "name": "load", "input": "to_load",
+            "url": "jdbc:postgresql://db:5432/wh", "table": "t_out",
+            "driver": "org.postgresql.Driver",
+        }],
+    )
+    with pytest.raises(Exception, match="spark-submit --packages|driver"):
+        run_job(spark, spec)
