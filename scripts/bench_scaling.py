@@ -125,6 +125,25 @@ def calibrate_parallel(cpus: int, seconds: float = 12.0) -> float:
         os.sched_setaffinity(0, prev)
 
 
+def _proc_stat(cores: set[int]) -> tuple[float, float]:
+    """(busy, steal) jiffies summed over ``cores`` from /proc/stat.
+    busy = user+nice+system+irq+softirq — cycles the host DELIVERED to
+    these cores; steal — cycles the hypervisor withheld while something
+    was runnable. Reading this is free, so it can be sampled DURING the
+    bench (co-sampled, round-3 verdict #1a) instead of bracketing it with
+    a probe that itself drains the burst budget."""
+    busy = steal = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
+                parts = line.split()
+                if int(parts[0][3:]) in cores:
+                    v = [int(x) for x in parts[1:9]]
+                    busy += v[0] + v[1] + v[2] + v[5] + v[6]
+                    steal += v[7]
+    return busy, steal
+
+
 def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pin: bool, wmode: str) -> dict:
     env = dict(os.environ)
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
@@ -145,11 +164,24 @@ def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pi
     ]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    cores = set(range(cpus))
+    b0, s0 = _proc_stat(cores)
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env)
+    b1, s1 = _proc_stat(cores)
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-4000:])
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    out = json.loads(line)
+    # co-sampled hypervisor grant over the level's own run window: of the
+    # cycles this core set DEMANDED (busy+steal), what fraction was
+    # delivered? Falls with width on an oversubscribed host.
+    demanded = (b1 - b0) + (s1 - s0)
+    out["cosampled"] = {
+        "busy_jiffies": b1 - b0,
+        "steal_jiffies": s1 - s0,
+        "delivered_fraction": round((b1 - b0) / demanded, 4) if demanded else None,
+    }
+    return out
 
 
 def pair_efficiency(lo: dict, hi: dict) -> float:
@@ -180,10 +212,13 @@ def main() -> None:
     runs: dict[int, dict] = {}
     calib: dict[int, list[float]] = {c: [] for c in levels}
     pcalib: dict[int, list[float]] = {c: [] for c in levels}
+    grants: dict[int, list[float]] = {c: [] for c in levels}
     for c in order:
         calib[c].append(calibrate())
         pcalib[c].append(calibrate_parallel(c))
         r = run_level(c, args.events, args.resolve, args.files, args.trigger, pin, args.write_mode)
+        if r.get("cosampled", {}).get("delivered_fraction"):
+            grants[c].append(r["cosampled"]["delivered_fraction"])
         if c not in runs:
             runs[c] = r
         else:
@@ -212,15 +247,25 @@ def main() -> None:
         # efficiency relative to the compute the host actually granted.
         host_ratio = max(pcalib[hi_c]) / max(pcalib[lo_c])
         host_eff = host_ratio / (hi_c / lo_c)
-        pairs.append(
-            {
-                "n": lo_c,
-                "m": hi_c,
-                "efficiency": round(eff, 3),
-                "host_ceiling_efficiency": round(host_eff, 3),
-                "efficiency_vs_host_ceiling": round(eff / host_eff, 3),
-            }
-        )
+        # co-sampled grant ceiling (round-4): measured DURING each level's
+        # own run from /proc/stat busy-vs-steal on its pinned cores — the
+        # fraction of demanded cycles the hypervisor delivered. Unlike the
+        # bracketing sha probe it shares the exact time window with the
+        # work, so minute-scale grant drift cannot decouple probe and
+        # engine. (It under-counts frequency throttling, so it is the
+        # CONSERVATIVE of the two ceilings.)
+        p = {
+            "n": lo_c,
+            "m": hi_c,
+            "efficiency": round(eff, 3),
+            "host_ceiling_efficiency": round(host_eff, 3),
+            "efficiency_vs_host_ceiling": round(eff / host_eff, 3),
+        }
+        if grants[lo_c] and grants[hi_c]:
+            grant_eff = max(grants[hi_c]) / max(grants[lo_c])
+            p["cosampled_grant_efficiency"] = round(grant_eff, 3)
+            p["efficiency_vs_cosampled_grant"] = round(eff / grant_eff, 3)
+        pairs.append(p)
 
     out = {
         "events": args.events,
@@ -245,6 +290,7 @@ def main() -> None:
         "repeats": args.repeats,
         "calibration_sha256_256mb_sec": {str(c): v for c, v in calib.items()},
         "calibration_parallel_sha256_mb_s": {str(c): v for c, v in pcalib.items()},
+        "cosampled_delivered_fraction": {str(c): v for c, v in grants.items()},
         "measured_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
     }
     print(json.dumps(out))
@@ -266,28 +312,47 @@ def main() -> None:
     )
     # every recorded run, so no single host phase dominates the story
     hist_rows = []
-    best: dict[tuple, float] = {}
-    best_norm: dict[tuple, float] = {}
+    raw_hist: dict[tuple, list[float]] = {}
+    norm_hist: dict[tuple, list[float]] = {}
+    cos_hist: dict[tuple, list[float]] = {}
     with open(os.path.join(REPO, "BENCH", "RUNS.jsonl")) as f:
         for line in f:
             h = json.loads(line)
             cells = [h["measured_at"]]
             for p in h["pair_efficiencies"]:
                 key = (p["n"], p["m"])
-                best[key] = max(best.get(key, 0.0), p["efficiency"])
+                raw_hist.setdefault(key, []).append(p["efficiency"])
                 ceil = p.get("host_ceiling_efficiency")
                 norm = p.get("efficiency_vs_host_ceiling")
+                cos = p.get("efficiency_vs_cosampled_grant")
                 if norm:
-                    best_norm[key] = max(best_norm.get(key, 0.0), norm)
+                    norm_hist.setdefault(key, []).append(norm)
+                if cos:
+                    cos_hist.setdefault(key, []).append(cos)
                 cells.append(
                     f"{p['efficiency']:.2f}"
-                    + (f" (ceiling {ceil:.2f}, norm {norm:.2f})" if ceil else "")
+                    + (f" (ceiling {ceil:.2f}, norm {norm:.2f}" if ceil else "")
+                    + (f", co-grant {cos:.2f})" if cos else (")" if ceil else ""))
                 )
             hist_rows.append("| " + " | ".join(cells) + " |")
+
+    def _mb(vals: list[float]) -> str:
+        """median / best across recorded runs (round-3 verdict: best-of-N
+        alone is a biased estimator — report both, lead with median)."""
+        if not vals:
+            return "—"
+        return f"{statistics.median(vals):.2f} med / {max(vals):.2f} best"
+
     pair_rows = "\n".join(
-        f"| N={p['n']} -> 4N={p['m']} | **{p['efficiency']:.2f}** | "
-        f"{p['host_ceiling_efficiency']:.2f} | **{p['efficiency_vs_host_ceiling']:.2f}** | "
-        f"**{best[(p['n'], p['m'])]:.2f}** raw / {best_norm.get((p['n'], p['m']), 0.0):.2f} norm |"
+        f"| N={p['n']} -> 4N={p['m']} | {p['efficiency']:.2f} | "
+        + (
+            f"**{p['efficiency_vs_cosampled_grant']:.2f}** ({p['cosampled_grant_efficiency']:.2f} grant) | "
+            if "efficiency_vs_cosampled_grant" in p
+            else "— | "
+        )
+        + f"{p['efficiency_vs_host_ceiling']:.2f} ({p['host_ceiling_efficiency']:.2f} ceiling) | "
+        f"{_mb(raw_hist.get((p['n'], p['m']), []))} | "
+        f"{_mb(cos_hist.get((p['n'], p['m']), []) or norm_hist.get((p['n'], p['m']), []))} |"
         for p in pairs
     )
     hist_pairs = " | ".join(
@@ -323,8 +388,8 @@ mildly with cores because map-side partial_max_by sees smaller
 partitions (fewer same-key collapses before the exchange) — quantified
 evidence that the shuffle, not the plan, is what scales imperfectly.
 
-| pair | engine efficiency (target >= 0.80) | host compute ceiling | engine / ceiling | best across runs |
-|---|---|---|---|---|
+| pair | raw engine efficiency (target >= 0.80) | engine / co-sampled grant | engine / sha ceiling | raw across runs | normalized across runs |
+|---|---|---|---|---|---|
 {pair_rows}
 
 Engine efficiency = median over steady epochs of wall-time ratio / core
@@ -358,14 +423,19 @@ aggregate MB/s at level width {json.dumps(out['calibration_parallel_sha256_mb_s'
 
 {history_table}
 
-The spread tracks the host's sustained grant, not code changes (the
-sustained-ceiling probes in the table swing with the raw numbers;
-engine/ceiling is the stable signal — measured up to 0.97 at the
-32-wide level). Trust the BEST raw number per pair across runs — each
-run replays the identical input to the identical verified state, so a
-better number is strictly more engine evidence, not noise — and the
-engine/ceiling column for the wide level. A raw 8->32 of 0.53 was also
-measured on 2026-08-16 before per-run JSON capture began.
+The spread tracks the host's sustained grant, not code changes. **Lead
+with the engine / co-sampled grant column**: the grant is measured from
+/proc/stat busy-vs-steal on the level's own pinned cores DURING its own
+run window (zero interference, same minutes as the work), so drift
+cannot decouple probe and engine — it is the number a cluster whose
+executors own their cores would see, conservatively (it under-counts
+frequency throttling, which the bracketing sha-ceiling probe captures).
+Across-runs columns report MEDIAN alongside best (round-3 verdict:
+best-of-N over a noisy host is a biased estimator; each run does replay
+the identical input to the identical verified state, so the best is
+legitimate engine evidence — but the median is the honest central
+tendency). A raw 8->32 of 0.53 was also measured on 2026-08-16 before
+per-run JSON capture began.
 
 Caveats (SURVEY.md §6): the north rule's nominal scale is 10^10 events
 on a real N-vs-4N-executor cluster; this sandbox evidences the criterion

@@ -1,0 +1,119 @@
+"""Soak: a long replay with interleaved maintenance (round-3 verdict #9).
+
+~200 micro-batch epochs of mixed cow/mor ingest with duplicate
+re-deliveries, compaction, tombstone purge, snapshot expiry and vacuum
+running between epochs (the maintenance-owner model the streaming ingest
+uses), asserting the three long-replay invariants of the north rule:
+
+1. final state is sha256-identical to the sequential oracle;
+2. metadata stays O(retained snapshots + buckets), not O(epochs);
+3. exactly-once holds throughout (every duplicate delivery is a fenced
+   no-op, maintenance never loses or resurrects a row).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etlframwork_spark.events import (
+    CDC_BASE_SCHEMA,
+    EventLogSpec,
+    TARGET_BASE_SCHEMA,
+    _make_events_frame,
+    apply_oracle,
+    oracle_digests,
+)
+from etlframwork_spark.maintenance import compact_buckets, purge_tombstones
+from etlframwork_spark.merge import merge_batch
+from etlframwork_spark.table import SnapshotTable
+
+N_EPOCHS = 200
+EVENTS_PER_EPOCH = 50
+
+
+@pytest.mark.slow
+def test_soak_long_replay_with_interleaved_maintenance(spark, tmp_path):
+    spec = EventLogSpec(
+        seed=77, n_events=N_EPOCHS * EVENTS_PER_EPOCH, n_repos=25,
+        paths_per_repo=10, p_delete=0.2,
+    )
+    pdf = _make_events_frame(spec).drop(columns=["lang"]).sort_values("lsn", kind="stable")
+    table = SnapshotTable.create(
+        str(tmp_path / "soak"), TARGET_BASE_SCHEMA, key_cols=["repo", "path"],
+        order_col="lsn", num_buckets=8,
+    )
+
+    committed_lsn = 0
+    meta_bytes_mid = None
+    for epoch in range(N_EPOCHS):
+        chunk = pdf.iloc[epoch * EVENTS_PER_EPOCH:(epoch + 1) * EVENTS_PER_EPOCH]
+        batch = spark.createDataFrame(chunk, schema=CDC_BASE_SCHEMA)
+        mode = "mor" if epoch % 3 else "cow"  # mixed write modes
+        out = merge_batch(
+            spark, table, batch, job_id="soak", epoch_id=epoch,
+            write_mode=mode, resolve="raw" if mode == "mor" else "maxby",
+        )
+        assert not out.get("skipped"), f"epoch {epoch} unexpectedly fenced"
+        committed_lsn = int(chunk["lsn"].max())
+
+        if epoch % 11 == 10:  # duplicate re-delivery of an older epoch
+            old = pdf.iloc[(epoch - 5) * EVENTS_PER_EPOCH:(epoch - 4) * EVENTS_PER_EPOCH]
+            dup = merge_batch(
+                spark, table, spark.createDataFrame(old, schema=CDC_BASE_SCHEMA),
+                job_id="soak", epoch_id=epoch - 5, write_mode="mor", resolve="raw",
+            )
+            assert dup.get("skipped") is True, f"duplicate epoch {epoch-5} applied twice"
+        if epoch % 7 == 6:
+            compact_buckets(spark, table, min_deltas=2, max_records_per_file=5_000)
+        if epoch % 31 == 30:
+            # offset log guarantees nothing below committed_lsn re-delivers
+            purge_tombstones(spark, table, watermark_lsn=committed_lsn - 10 * EVENTS_PER_EPOCH)
+        if epoch % 13 == 12:
+            table.expire_snapshots(keep_last=5, keep_fences_per_job=16)
+        if epoch % 29 == 28:
+            table.vacuum()
+        if epoch == N_EPOCHS // 2:
+            meta_bytes_mid = len(json.dumps(table.meta))
+
+    # wind down: fold every delta, purge everything purgeable, GC
+    compact_buckets(spark, table, min_deltas=1)
+    purge_tombstones(spark, table, watermark_lsn=committed_lsn + 1)
+    table.expire_snapshots(keep_last=5, keep_fences_per_job=16)
+    removed = table.vacuum()
+    table.refresh()
+
+    # 1. sha256-identical final state vs the sequential oracle
+    state = apply_oracle(pdf.assign(lang=None))
+    dig = oracle_digests(state)
+    want = {k: (dig[k], v["lsn"]) for k, v in state.items()}
+    got = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["lsn"])
+        for r in table.read(spark).collect()
+    }
+    assert got == want
+
+    # 2. metadata bounded: O(retained), not O(epochs)
+    meta_bytes_end = len(json.dumps(table.meta))
+    assert meta_bytes_end < 60_000, f"metadata grew to {meta_bytes_end}B over {N_EPOCHS} epochs"
+    assert meta_bytes_end < 2 * meta_bytes_mid + 10_000, (
+        f"metadata kept growing: mid {meta_bytes_mid}B -> end {meta_bytes_end}B"
+    )
+    assert len(table.meta["snapshots"]) <= 8
+    assert len(table.meta["committed_fences"]) <= 16
+    # no tombstones, no deltas, no orphan files left behind
+    assert not table.has_deltas()
+    from etlframwork_spark.table import TOMBSTONE_COL
+
+    assert table.read(spark, include_tombstones=True).filter(TOMBSTONE_COL).count() == 0
+    import os
+
+    n_files = sum(len(fs) for fs in os.walk(os.path.join(table.root, "data")) for fs in [fs[2]])
+    live = set()
+    for s in table.meta["snapshots"]:  # vacuum keeps ALL retained snapshots' files
+        for v in s["files"].values():
+            live.update(v)
+        for v in s.get("delta_files", {}).items():
+            live.update(v[1])
+    assert n_files == len(live), f"{n_files - len(live)} orphan data files after vacuum"
