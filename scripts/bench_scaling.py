@@ -318,6 +318,8 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "RUNS.jsonl")) as f:
         for line in f:
             h = json.loads(line)
+            if h["events"] != args.events:
+                continue  # smoke/debug runs must not pollute the stats
             cells = [h["measured_at"]]
             for p in h["pair_efficiencies"]:
                 key = (p["n"], p["m"])
