@@ -100,9 +100,11 @@ def main() -> None:
             write_mode=args.write_mode,
             compact_min_deltas=args.compact_min_deltas,
         )
+        wall_start = time.time()
         t0 = time.monotonic()
         table = run_ingest(spark, job)
         secs = time.monotonic() - t0
+        wall_end = time.time()
         final = table.read(spark)
         from pyspark.sql import functions as F
 
@@ -128,6 +130,8 @@ def main() -> None:
                     "cpus": args.cpus,
                     "events": args.events,
                     "seconds": round(secs, 3),
+                    "wall_start_ts": round(wall_start, 3),
+                    "wall_end_ts": round(wall_end, 3),
                     "events_per_sec": round(args.events / secs, 1),
                     "steady_events_per_sec": round(s_events / s_secs, 1) if s_secs else None,
                     "steady_epochs": len(steady),

@@ -144,6 +144,83 @@ def _proc_stat(cores: set[int]) -> tuple[float, float]:
     return busy, steal
 
 
+class _InWindowProbe:
+    """Low-duty co-sampled grant probe (round-3 verdict #1a, round-4
+    design): DURING the level's run, every ``period`` seconds, hash 64 MB
+    on one core of the level's pinned set and record
+
+    - ``mhz-equivalent quality``: bytes per THREAD-CPU-second — immune to
+      OS timeslicing with the engine's threads (cpu clock stops when the
+      thread is descheduled) and to steal (not charged to the thread),
+      but it DOES see frequency/SMT dilution, which /proc/stat steal
+      provably misses on this host (run 2026-08-17T05:46: sha ceiling
+      swung 8.9->23.3 GB/s between repeats while steal said 0.89-0.97);
+    - a (busy, steal) /proc/stat snapshot per tick, so steal fraction can
+      be computed over any sub-window.
+
+    Duty cycle ~25 ms per 2.5 s on ONE core = ~1% of one core — unlike
+    the verdict's literal 'interleave the sha ceiling probe', this does
+    not drain the burst budget the engine itself needs. Samples carry
+    wall timestamps so the STEADY window (post-first-epoch) can be cut
+    exactly."""
+
+    def __init__(self, cores: set[int], period: float = 2.5):
+        import threading
+
+        self.cores = sorted(cores)
+        self.period = period
+        self.samples: list[tuple[float, float]] = []  # (wall_ts, bytes/cpu-sec)
+        self.stat: list[tuple[float, float, float]] = []  # (wall_ts, busy, steal)
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        import hashlib
+        import time
+
+        block = bytes(1 << 20)
+        i = 0
+        while not self._stop.wait(self.period):
+            core = self.cores[i % len(self.cores)]
+            i += 1
+            try:
+                os.sched_setaffinity(0, {core})  # this thread only
+            except OSError:
+                pass
+            h = hashlib.sha256()
+            c0, w = time.thread_time(), time.time()
+            for _ in range(64):
+                h.update(block)
+            dc = time.thread_time() - c0
+            if dc > 0:
+                self.samples.append((w, (64 << 20) / dc))
+            b, s = _proc_stat(set(self.cores))
+            self.stat.append((time.time(), b, s))
+
+    def start(self):
+        self._t.start()
+
+    def stop(self):
+        self._stop.set()
+        self._t.join(timeout=10)
+
+    def window_stats(self, t_from: float, t_to: float) -> dict | None:
+        """Median per-core quality and steal-delivered fraction over
+        [t_from, t_to]."""
+        qs = sorted(q for w, q in self.samples if t_from <= w <= t_to)
+        st = [(w, b, s) for w, b, s in self.stat if t_from <= w <= t_to]
+        if not qs or len(st) < 2:
+            return None
+        db = st[-1][1] - st[0][1]
+        ds = st[-1][2] - st[0][2]
+        delivered = db / (db + ds) if (db + ds) > 0 else None
+        return {
+            "median_bytes_per_cpusec": qs[len(qs) // 2],
+            "delivered_fraction": round(delivered, 4) if delivered else None,
+            "n_samples": len(qs),
+        }
+
+
 def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pin: bool, wmode: str) -> dict:
     env = dict(os.environ)
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
@@ -165,21 +242,31 @@ def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pi
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     cores = set(range(cpus))
+    probe = _InWindowProbe(cores)
+    probe.start()
     b0, s0 = _proc_stat(cores)
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env)
-    b1, s1 = _proc_stat(cores)
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env)
+    finally:
+        b1, s1 = _proc_stat(cores)
+        probe.stop()
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-4000:])
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
-    # co-sampled hypervisor grant over the level's own run window: of the
-    # cycles this core set DEMANDED (busy+steal), what fraction was
-    # delivered? Falls with width on an oversubscribed host.
+    # co-sampled hypervisor grant, two granularities:
+    # - whole-run steal-delivered fraction (cheap, but steal misses
+    #   frequency/credit throttling on this host);
+    # - the in-window probe cut to the STEADY window (after epoch 1),
+    #   which is what the efficiency estimator actually measures.
     demanded = (b1 - b0) + (s1 - s0)
+    steady_from = out["wall_start_ts"] + out["epoch_seconds"][0]
+    win = probe.window_stats(steady_from, out["wall_end_ts"])
     out["cosampled"] = {
         "busy_jiffies": b1 - b0,
         "steal_jiffies": s1 - s0,
         "delivered_fraction": round((b1 - b0) / demanded, 4) if demanded else None,
+        "steady_window": win,
     }
     return out
 
@@ -202,6 +289,15 @@ def main() -> None:
     ap.add_argument("--no-pin", action="store_true")
     ap.add_argument("--write-mode", default="mor", help="mor: size-independent epochs -> cleaner matched ratios")
     ap.add_argument("--repeats", type=int, default=2, help="mirrored level order, per-epoch min across repeats")
+    ap.add_argument(
+        "--cooldown", type=float, default=75.0,
+        help="idle seconds before each level: the host is burstable, and "
+        "back-to-back levels hand the later one a drained credit balance "
+        "— the mirrored order alone still ran both 32-wide repeats "
+        "back-to-back after 2+8 had burned the budget (systematic bias "
+        "against the wide level, round-4 finding). A fixed idle window "
+        "gives every level a comparable starting balance, like cluster "
+        "sizes that do not share hardware.")
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
@@ -213,12 +309,22 @@ def main() -> None:
     calib: dict[int, list[float]] = {c: [] for c in levels}
     pcalib: dict[int, list[float]] = {c: [] for c in levels}
     grants: dict[int, list[float]] = {c: [] for c in levels}
+    import time as _time
+
     for c in order:
+        if args.cooldown > 0:
+            _time.sleep(args.cooldown)  # credit recovery: fair start per level
         calib[c].append(calibrate())
         pcalib[c].append(calibrate_parallel(c))
         r = run_level(c, args.events, args.resolve, args.files, args.trigger, pin, args.write_mode)
-        if r.get("cosampled", {}).get("delivered_fraction"):
-            grants[c].append(r["cosampled"]["delivered_fraction"])
+        win = r.get("cosampled", {}).get("steady_window")
+        if win and win.get("median_bytes_per_cpusec"):
+            # effective per-core grant over the steady window: cycle
+            # quality (catches frequency/credit throttle) x steal-
+            # delivered fraction (catches scheduling withholding)
+            grants[c].append(
+                win["median_bytes_per_cpusec"] * (win.get("delivered_fraction") or 1.0)
+            )
         if c not in runs:
             runs[c] = r
         else:
@@ -290,7 +396,7 @@ def main() -> None:
         "repeats": args.repeats,
         "calibration_sha256_256mb_sec": {str(c): v for c, v in calib.items()},
         "calibration_parallel_sha256_mb_s": {str(c): v for c, v in pcalib.items()},
-        "cosampled_delivered_fraction": {str(c): v for c, v in grants.items()},
+        "cosampled_effective_percore_grant": {str(c): v for c, v in grants.items()},
         "measured_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
     }
     print(json.dumps(out))
@@ -426,12 +532,16 @@ aggregate MB/s at level width {json.dumps(out['calibration_parallel_sha256_mb_s'
 {history_table}
 
 The spread tracks the host's sustained grant, not code changes. **Lead
-with the engine / co-sampled grant column**: the grant is measured from
-/proc/stat busy-vs-steal on the level's own pinned cores DURING its own
-run window (zero interference, same minutes as the work), so drift
-cannot decouple probe and engine — it is the number a cluster whose
-executors own their cores would see, conservatively (it under-counts
-frequency throttling, which the bracketing sha-ceiling probe captures).
+with the engine / co-sampled grant column**: the grant is measured
+DURING each level's own steady window by a ~1%-of-one-core probe —
+per-core cycle quality (bytes per thread-CPU-second, which catches the
+frequency/credit throttling that /proc/stat steal provably misses on
+this host) times the steal-delivered fraction over the same window. It
+shares the exact minutes with the work it normalizes, so grant drift
+cannot decouple probe and engine — this is the number a cluster whose
+executors own their cores would see. Levels start after a fixed idle
+cool-down so the burstable host's credit balance is comparable across
+levels (back-to-back ordering systematically starved the wide level).
 Across-runs columns report MEDIAN alongside best (round-3 verdict:
 best-of-N over a noisy host is a biased estimator; each run does replay
 the identical input to the identical verified state, so the best is
