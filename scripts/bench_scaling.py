@@ -221,7 +221,16 @@ class _InWindowProbe:
         }
 
 
-def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pin: bool, wmode: str) -> dict:
+def run_level(
+    cpus: int,
+    events: int,
+    resolve: str,
+    files: int,
+    trigger: int,
+    pin: bool,
+    wmode: str,
+    exec_cores: int | None = None,
+) -> dict:
     env = dict(os.environ)
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     os.makedirs("/dev/shm/cdc-bench", exist_ok=True)
@@ -239,6 +248,14 @@ def run_level(cpus: int, events: int, resolve: str, files: int, trigger: int, pi
         "--files-per-trigger", str(trigger),
         "--write-mode", wmode,
     ]
+    if exec_cores:
+        # separate-JVM executors (round-3 verdict #1b): local-cluster with
+        # cpus/exec_cores executor JVMs of exec_cores each, all pinned to
+        # the same taskset core range — the literal "N executors vs 4N
+        # executors" shape, removing the single-JVM GC/heap confound.
+        n_exec = max(1, cpus // exec_cores)
+        mem_mb = 1536 * exec_cores
+        cmd += ["--master", f"local-cluster[{n_exec},{exec_cores},{mem_mb}]"]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     cores = set(range(cpus))
@@ -290,6 +307,12 @@ def main() -> None:
     ap.add_argument("--write-mode", default="mor", help="mor: size-independent epochs -> cleaner matched ratios")
     ap.add_argument("--repeats", type=int, default=2, help="mirrored level order, per-epoch min across repeats")
     ap.add_argument(
+        "--exec-cores", type=int, default=None,
+        help="run each level as local-cluster[N/exec_cores, exec_cores] "
+        "separate-JVM executors (pinned): level 8 with --exec-cores 4 is "
+        "2 executors, level 32 is 8 executors — the north rule's literal "
+        "N-vs-4N-executor shape")
+    ap.add_argument(
         "--cooldown", type=float, default=75.0,
         help="idle seconds before each level: the host is burstable, and "
         "back-to-back levels hand the later one a drained credit balance "
@@ -316,7 +339,8 @@ def main() -> None:
             _time.sleep(args.cooldown)  # credit recovery: fair start per level
         calib[c].append(calibrate())
         pcalib[c].append(calibrate_parallel(c))
-        r = run_level(c, args.events, args.resolve, args.files, args.trigger, pin, args.write_mode)
+        r = run_level(c, args.events, args.resolve, args.files, args.trigger, pin,
+                      args.write_mode, exec_cores=args.exec_cores)
         win = r.get("cosampled", {}).get("steady_window")
         if win and win.get("median_bytes_per_cpusec"):
             # effective per-core grant over the steady window: cycle
@@ -377,6 +401,7 @@ def main() -> None:
         "events": args.events,
         "resolve": args.resolve,
         "write_mode": args.write_mode,
+        "exec_cores": args.exec_cores,
         "levels": {
             str(c): {
                 "steady_events_per_sec": r["steady_events_per_sec"],
@@ -424,8 +449,8 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "RUNS.jsonl")) as f:
         for line in f:
             h = json.loads(line)
-            if h["events"] != args.events:
-                continue  # smoke/debug runs must not pollute the stats
+            if h["events"] != args.events or h.get("exec_cores") != args.exec_cores:
+                continue  # smoke/debug/other-mode runs must not pollute the stats
             cells = [h["measured_at"]]
             for p in h["pair_efficiencies"]:
                 key = (p["n"], p["m"])
