@@ -485,7 +485,7 @@ def main() -> None:
         )
         + f"{p['efficiency_vs_host_ceiling']:.2f} ({p['host_ceiling_efficiency']:.2f} ceiling) | "
         f"{_mb(raw_hist.get((p['n'], p['m']), []))} | "
-        f"{_mb(cos_hist.get((p['n'], p['m']), []) or norm_hist.get((p['n'], p['m']), []))} |"
+        f"{_mb(norm_hist.get((p['n'], p['m']), []))} vs ceiling |"
         for p in pairs
     )
     hist_pairs = " | ".join(
@@ -556,17 +556,34 @@ aggregate MB/s at level width {json.dumps(out['calibration_parallel_sha256_mb_s'
 
 {history_table}
 
-The spread tracks the host's sustained grant, not code changes. **Lead
-with the engine / co-sampled grant column**: the grant is measured
-DURING each level's own steady window by a ~1%-of-one-core probe —
-per-core cycle quality (bytes per thread-CPU-second, which catches the
-frequency/credit throttling that /proc/stat steal provably misses on
-this host) times the steal-delivered fraction over the same window. It
-shares the exact minutes with the work it normalizes, so grant drift
-cannot decouple probe and engine — this is the number a cluster whose
-executors own their cores would see. Levels start after a fixed idle
-cool-down so the burstable host's credit balance is comparable across
-levels (back-to-back ordering systematically starved the wide level).
+The spread tracks the host's sustained grant, not code changes.
+
+**Observability limits, measured on this host (round 4).** Three
+instruments were built and cross-checked against a known 32-thread
+pure-CPU load:
+
+1. `/proc/stat` is blind: during a full 32-thread sha burn the guest
+   accounts ~30 "busy cores" with ~0 steal — while the measured
+   aggregate hash rate is only ~0.4x of 32 nominal cores. The
+   hypervisor dilutes cycles without surfacing steal.
+2. Per-thread CPU-clock probes under-report: a 1%-duty single-thread
+   probe inside the same burn reads ~75% of idle-host speed when true
+   per-thread throughput is ~27% — the thread cpu-clock itself runs on
+   the diluted timebase.
+3. The only instrument that sees aggregate-width throttling is a
+   SUSTAINED full-width compute burn (`calibrate_parallel`) — which
+   cannot run concurrently with the engine without competing for the
+   very cycles being measured.
+
+Consequently: the **co-sampled grant column** (in-window low-duty probe
+x steal fraction) is exact for the narrow pair (2->8, where dilution is
+near zero and it shares the engine's minutes), while for the wide pair
+(8->32) the **sha ceiling** — probed immediately before each level, on
+both sides of each level in the mirrored order — is the honest
+normalizer, with the co-sampled column shown as the (known-optimistic)
+in-window bound. Levels start after a fixed idle cool-down so the
+burstable host's credit balance is comparable across levels
+(back-to-back ordering systematically starved the wide level).
 Across-runs columns report MEDIAN alongside best (round-3 verdict:
 best-of-N over a noisy host is a biased estimator; each run does replay
 the identical input to the identical verified state, so the best is
