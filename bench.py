@@ -132,27 +132,47 @@ def main() -> None:
     try:
         # JVM/codegen warmup on a trivial action
         spark.range(1_000_000).selectExpr("sum(id)").collect()
+        # Per-leg isolation (round-4 lesson: one leg's exception killed the
+        # whole bench and round 4 shipped ZERO numbers). Any leg that dies
+        # lands in `errors`; everything that succeeded is still reported.
         timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
         for name in HEADLINE:
-            timings[name] = round(_time_query(QUERIES[name], spark, sf_dir), 3)
-        cdc = _cdc_bench(spark, CDC_EVENTS, "cow")
-        mor = _cdc_bench(spark, CDC_EVENTS, "mor")
-        total = round(sum(timings.values()) + cdc["cdc_seconds"] + mor["cdc_seconds"], 3)
+            try:
+                timings[name] = round(_time_query(QUERIES[name], spark, sf_dir), 3)
+            except Exception as e:  # noqa: BLE001 — bench must emit partial JSON
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+        cdc = mor = None
+        try:
+            cdc = _cdc_bench(spark, CDC_EVENTS, "cow")
+        except Exception as e:  # noqa: BLE001
+            errors["cdc_replay"] = f"{type(e).__name__}: {e}"[:300]
+        try:
+            mor = _cdc_bench(spark, CDC_EVENTS, "mor")
+        except Exception as e:  # noqa: BLE001
+            errors["cdc_replay_mor"] = f"{type(e).__name__}: {e}"[:300]
+        queries = dict(timings)
+        if cdc:
+            queries["cdc_replay"] = cdc["cdc_seconds"]
+        if mor:
+            queries["cdc_replay_mor"] = mor["cdc_seconds"]
+        total = round(sum(queries.values()), 3)
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        print(
-            json.dumps(
-                {
-                    "metric": "headline suite wall time (generic ops + CDC replay)",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": {**timings, "cdc_replay": cdc["cdc_seconds"], "cdc_replay_mor": mor["cdc_seconds"]},
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    **cdc,
-                    "cdc_mor_events_per_sec": mor["cdc_events_per_sec"],
-                    "cpus": int(cpus),
-                }
-            )
-        )
+        out = {
+            "metric": "headline suite wall time (generic ops + CDC replay)",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cpus": int(cpus),
+        }
+        if cdc:
+            out.update(cdc)
+        if mor:
+            out["cdc_mor_events_per_sec"] = mor["cdc_events_per_sec"]
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
     finally:
         spark.stop()
 

@@ -261,7 +261,7 @@ def merge_batch(
     fence = f"{job_id}:{epoch_id}"
     hook = fault_injector or (lambda stage: None)
     table.refresh()
-    if table.is_fence_committed(fence):
+    if table.is_fence_committed(fence, branch=branch):
         return {"skipped": True, "fence": fence}
     # snapshot this cow rewrite READS from — commit validates the affected
     # buckets are unchanged since (Iceberg-style conflict detection; a

@@ -28,6 +28,8 @@ Scale posture baked into the plan:
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +52,14 @@ def sql_literal(value) -> str:
         )
     if isinstance(value, str):
         return "'" + value.replace("'", "''") + "'"
+    if isinstance(value, float) and not math.isfinite(value):
+        # repr(inf)/repr(nan) render as bare inf/nan — invalid SQL that
+        # would fail at the DATABASE, not at this step boundary where the
+        # contract promises loud rejection
+        raise TypeError(
+            f"non-finite float watermark {value!r} cannot be rendered as a "
+            "SQL literal"
+        )
     return repr(value)
 
 

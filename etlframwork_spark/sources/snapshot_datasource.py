@@ -146,8 +146,8 @@ def _load_meta(root: str) -> dict:
         return json.load(f)
 
 
-def _resolve_snapshot_schema(meta: dict, options: dict) -> tuple[int, dict, dict]:
-    """Resolve (snapshot_id, snapshot, schema_struct_json) for a read.
+def _resolve_snapshot_schema(meta: dict, options: dict) -> tuple[int, dict, dict, int]:
+    """Resolve (snapshot_id, snapshot, schema_struct_json, schema_id) for a read.
 
     Shared by planning (``DataSource.schema``) and execution
     (``SnapshotTableReader``) so they can never disagree: a ``tag`` or
@@ -175,7 +175,21 @@ def _resolve_snapshot_schema(meta: dict, options: dict) -> tuple[int, dict, dict
         else meta["current_schema_id"]
     )
     struct = next(s["struct"] for s in meta["schemas"] if s["schema_id"] == schema_id)
-    return snapshot_id, snap, struct
+    return snapshot_id, snap, struct, schema_id
+
+
+def _field_ids_of(meta: dict, schema_id: int) -> dict[str, int]:
+    """``{column name -> stable field id}`` for a schema entry (mirrors
+    SnapshotTable.field_ids — this module works on the raw meta dict).
+    Pre-field-id schemas get positional ids, correct for additive-only
+    history (see table.py)."""
+    for s in meta["schemas"]:
+        if s["schema_id"] == schema_id:
+            if "field_ids" in s:
+                return dict(s["field_ids"])
+            names = [f["name"] for f in s["struct"]["fields"]]
+            return {n: i for i, n in enumerate(names)}
+    raise KeyError(f"schema_id {schema_id} not found")
 
 
 class _BucketPartition(InputPartition):
@@ -189,7 +203,9 @@ class SnapshotTableReader(DataSourceReader):
     def __init__(self, options: dict, meta: dict):
         self.root = options["root"]
         self.meta = meta
-        self.snapshot_id, self.snap, self.schema_json = _resolve_snapshot_schema(meta, options)
+        self.snapshot_id, self.snap, self.schema_json, self.schema_id = _resolve_snapshot_schema(
+            meta, options
+        )
         self.include_tombstones = str(options.get("include_tombstones", "false")).lower() == "true"
         self.key_cols = meta["key_cols"]
         self.order_col = meta["order_col"]
@@ -199,6 +215,23 @@ class SnapshotTableReader(DataSourceReader):
         self.num_buckets = self.snap.get("num_buckets", meta["num_buckets"])
         self._pruned_bucket: int | None = None
         self._stats_filters: list[tuple] = []
+        # field-id projection (rename/drop evolution, parity with
+        # table._read_files): per written-schema-id map of
+        # {target column name -> source column name in the file}. Files
+        # written under the read schema (or with no recorded writer
+        # schema — additive-only legacy) read by name.
+        self._file_schema = {
+            k: int(v) for k, v in meta.get("file_schemas", {}).items()
+        }
+        target_ids = _field_ids_of(meta, self.schema_id)
+        self._src_names: dict[int, dict[str, str]] = {}
+        for s in meta["schemas"]:
+            if s["schema_id"] == self.schema_id:
+                continue
+            by_id = {i: n for n, i in _field_ids_of(meta, s["schema_id"]).items()}
+            self._src_names[s["schema_id"]] = {
+                tn: by_id[ti] for tn, ti in target_ids.items() if ti in by_id
+            }
 
     # -------------------------------------------------------- planning
     _FILTER_OPS = (
@@ -291,12 +324,20 @@ class SnapshotTableReader(DataSourceReader):
             tables = []
             for f in files:
                 t = pq.read_table(f)
-                # project onto the read schema: files written before an
-                # additive evolution surface nulls in the new columns
+                # Project onto the read schema. Files written under a
+                # DIFFERENT schema project strictly by FIELD ID (a renamed
+                # column's old name maps to the new one; a name that was
+                # dropped-then-readded must NOT match the old bytes —
+                # hence no name fallback when the writer schema is known).
+                # Same-schema / legacy files project by name: columns
+                # added after the write surface nulls.
+                sid = self._file_schema.get(os.path.relpath(f, self.root), self.schema_id)
+                remap = None if sid == self.schema_id else self._src_names.get(sid, {})
                 cols = []
                 for fld in arrow_schema:
-                    if fld.name in t.column_names:
-                        cols.append(t.column(fld.name).cast(fld.type))
+                    src = fld.name if remap is None else remap.get(fld.name)
+                    if src is not None and src in t.column_names:
+                        cols.append(t.column(src).cast(fld.type))
                     else:
                         cols.append(pa.nulls(len(t), fld.type))
                 tables.append(pa.Table.from_arrays(cols, schema=arrow_schema))
@@ -475,6 +516,20 @@ class SnapshotTableWriter(DataSourceArrowWriter):
         if self.fence is not None and table.is_fence_committed(self.fence):
             self.abort(messages)  # duplicate delivery: drop our files
             return
+        if table.num_buckets != self.num_buckets:
+            # a concurrent maintenance.rebucket() landed between planning
+            # and commit: tasks hashed rows under the OLD bucket count, so
+            # appending these files would put rows in wrong buckets and
+            # the bucket-local LWW resolve would silently miss collisions.
+            # Abort (orphaned files are invisible and vacuum()-collected).
+            self.abort(messages)
+            raise RuntimeError(
+                f"snapshot_table write aborted: table was rebucketed "
+                f"({self.num_buckets} -> {table.num_buckets} buckets) while "
+                "this write was in flight; rows were hashed under the old "
+                "bucket spec. Retry the write — it will plan against the "
+                "new spec."
+            )
         table.commit(
             files_by_bucket,
             sorted(files_by_bucket),
@@ -534,7 +589,7 @@ class SnapshotTableDataSource(DataSource):
 
     def schema(self) -> StructType:
         meta = _load_meta(self._root())
-        _sid, _snap, struct = _resolve_snapshot_schema(meta, dict(self.options))
+        _sid, _snap, struct, _schema_id = _resolve_snapshot_schema(meta, dict(self.options))
         full = StructType.fromJson(struct)
         if str(self.options.get("include_tombstones", "false")).lower() == "true":
             return full

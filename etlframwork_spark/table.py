@@ -437,6 +437,59 @@ class SnapshotTable:
             clean_files = [p for p, r in zip(clean_files, rels) if r in kept]
         return clean_files, dirty_files
 
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: StructType,
+        target_sid: int | None,
+    ) -> DataFrame:
+        """Read data files and project them onto ``schema``.
+
+        Field-id-aware (Iceberg read semantics): each file is read with
+        the schema it was WRITTEN under (``meta['file_schemas']``,
+        recorded at commit time) and projected onto the target schema by
+        stable field id — a renamed column's old files read back under
+        the new name, a dropped column is omitted, an added column
+        back-fills null. Files with no recorded writer schema — or when
+        the caller supplied an explicit out-of-registry ``schema``
+        (``target_sid is None``, the mid-merge evolution path) — read by
+        NAME with the target schema: the pre-evolution behavior, correct
+        for any additive-only history because additive evolution never
+        reuses or moves a name.
+
+        Grouping is by writer schema id, so a table with S live schema
+        versions costs S parquet scans (each a single multi-file scan
+        Spark parallelizes), not one scan per file — the 100 TB shape.
+        """
+        if target_sid is None:
+            return spark.read.schema(schema).parquet(*files)
+        fsch = self.meta.get("file_schemas", {})
+        groups: dict[int, list[str]] = {}
+        for p in files:
+            rel = os.path.relpath(p, self.root)
+            groups.setdefault(int(fsch.get(rel, target_sid)), []).append(p)
+        target_ids = self.field_ids(target_sid)
+        parts: list[DataFrame] = []
+        for sid, grp in sorted(groups.items()):
+            if sid == target_sid:
+                parts.append(spark.read.schema(schema).parquet(*grp))
+                continue
+            written = self.schema(sid)
+            name_by_id = {i: n for n, i in self.field_ids(sid).items()}
+            cols = []
+            for f in schema.fields:
+                src = name_by_id.get(target_ids[f.name])
+                if src is not None:
+                    cols.append(F.col(src).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            parts.append(spark.read.schema(written).parquet(*grp).select(*cols))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df
+
     def read(
         self,
         spark: SparkSession,
@@ -638,14 +691,35 @@ class SnapshotTable:
                     )
                 self.meta["current_snapshot_id"] = head
                 refs[name]["base_snapshot_id"] = head  # branch stays publishable
+                # promote branch-scoped fences: the epochs are now durably
+                # published on main, so re-delivery must skip globally
+                self.meta["committed_fences"].update(refs[name].pop("fences", {}))
                 self._write_version(self.version + 1)
                 return head
             except VersionConflict:
                 continue
         raise VersionConflict("fast_forward lost the metadata CAS repeatedly")
 
-    def is_fence_committed(self, fence: str) -> bool:
-        return fence in self.meta["committed_fences"]
+    def is_fence_committed(self, fence: str, branch: str | None = None) -> bool:
+        """Whether an epoch fence is already committed.
+
+        Fences are SCOPED TO THEIR REF: a branch commit records its fence
+        on the branch, and only ``fast_forward`` promotes it to the global
+        (main) map. Otherwise a failed audit + ``drop_branch`` would leave
+        the fence globally committed and a re-merge of the same epoch
+        against main would be skipped — the epoch's data silently lost,
+        defeating the discard-and-recompute path WAP exists for.
+
+        A MAIN-committed fence blocks everywhere (the epoch is durably
+        published; re-applying it on any branch would double-apply at
+        publish time); a branch fence blocks only that branch.
+        """
+        if fence in self.meta["committed_fences"]:
+            return True
+        if branch is not None:
+            ref = self.meta.get("refs", {}).get(branch, {})
+            return fence in ref.get("fences", {})
+        return False
 
     def new_data_dir(self) -> str:
         """A unique directory for a prospective snapshot's data files.
@@ -785,7 +859,7 @@ class SnapshotTable:
         # against THIS metadata state; refreshing again here would open a
         # validation race. Anything that lands between this state and our
         # publish is caught by the _write_version CAS.
-        if fence is not None and self.is_fence_committed(fence):
+        if fence is not None and self.is_fence_committed(fence, branch=branch):
             return None
 
         schema_id = self.meta["current_schema_id"]
@@ -869,7 +943,13 @@ class SnapshotTable:
         else:
             self.meta["refs"][branch]["snapshot_id"] = new_id
         if fence is not None:
-            self.meta["committed_fences"][fence] = new_id
+            # fences scope to their ref: branch fences live on the branch
+            # and are promoted to main only by fast_forward (see
+            # is_fence_committed) — drop_branch discards them with the ref
+            if branch is None:
+                self.meta["committed_fences"][fence] = new_id
+            else:
+                self.meta["refs"][branch].setdefault("fences", {})[fence] = new_id
         if new_stats:
             self.meta.setdefault("file_stats", {}).update(new_stats)
         if new_file_schemas:
