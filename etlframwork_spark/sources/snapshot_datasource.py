@@ -131,6 +131,119 @@ def bucket_of(key_values: list[str], num_buckets: int) -> int:
     return spark_xxhash64_strings(key_values) % num_buckets
 
 
+# ------------------------------------------------- vectorized xxhash64
+# Round-4 verdict #4/#6: the DSv2 writer hashed keys PER ROW in pure
+# Python (to_pylist loops) — a hard ceiling on large SQL INSERTs. This
+# numpy implementation runs the same XXH64 over Arrow string buffers:
+# rows are grouped by byte length so each group is a fixed-width (n, L)
+# uint8 matrix and every hash step is an elementwise uint64 op (numpy
+# wraps mod 2^64 natively). Seeds are per-row arrays, which is exactly
+# what Spark's multi-column seed chaining needs. Bit-equality with the
+# scalar path (and hence the JVM) is pinned in tests/test_datasource.py.
+
+import numpy as _np
+
+_NP1 = _np.uint64(_P1)
+_NP2 = _np.uint64(_P2)
+_NP3 = _np.uint64(_P3)
+_NP4 = _np.uint64(_P4)
+_NP5 = _np.uint64(_P5)
+
+
+def _rotl_np(x: "_np.ndarray", r: int) -> "_np.ndarray":
+    return (x << _np.uint64(r)) | (x >> _np.uint64(64 - r))
+
+
+def _round_np(acc: "_np.ndarray", inp: "_np.ndarray") -> "_np.ndarray":
+    return _rotl_np(acc + inp * _NP2, 31) * _NP1
+
+
+def _lane(mat: "_np.ndarray", i: int, width: int) -> "_np.ndarray":
+    return _np.ascontiguousarray(mat[:, i : i + width]).view(f"<u{width}").ravel()
+
+
+def _xxh64_fixed_np(mat: "_np.ndarray", seeds: "_np.ndarray") -> "_np.ndarray":
+    """XXH64 of every row of a fixed-width (n, L) uint8 matrix, one seed
+    per row. Mirrors the scalar ``xxhash64`` above step for step."""
+    n, L = mat.shape
+    i = 0
+    if L >= 32:
+        v1 = seeds + _NP1 + _NP2
+        v2 = seeds + _NP2
+        v3 = seeds.copy()
+        v4 = seeds - _NP1
+        while i + 32 <= L:
+            v1 = _round_np(v1, _lane(mat, i, 8))
+            v2 = _round_np(v2, _lane(mat, i + 8, 8))
+            v3 = _round_np(v3, _lane(mat, i + 16, 8))
+            v4 = _round_np(v4, _lane(mat, i + 24, 8))
+            i += 32
+        h = _rotl_np(v1, 1) + _rotl_np(v2, 7) + _rotl_np(v3, 12) + _rotl_np(v4, 18)
+        zero = _np.zeros(n, dtype=_np.uint64)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ _round_np(zero, v)) * _NP1 + _NP4
+    else:
+        h = seeds + _NP5
+    h = h + _np.uint64(L)
+    while i + 8 <= L:
+        zero = _np.zeros(n, dtype=_np.uint64)
+        h = _rotl_np(h ^ _round_np(zero, _lane(mat, i, 8)), 27) * _NP1 + _NP4
+        i += 8
+    if i + 4 <= L:
+        k = _lane(mat, i, 4).astype(_np.uint64)
+        h = _rotl_np(h ^ (k * _NP1), 23) * _NP2 + _NP3
+        i += 4
+    while i < L:
+        h = _rotl_np(h ^ (mat[:, i].astype(_np.uint64) * _NP5), 11) * _NP1
+        i += 1
+    h ^= h >> _np.uint64(33)
+    h = h * _NP2
+    h ^= h >> _np.uint64(29)
+    h = h * _NP3
+    h ^= h >> _np.uint64(32)
+    return h
+
+
+def _xxh64_string_array_np(arr, seeds: "_np.ndarray") -> "_np.ndarray":
+    """Per-row XXH64 of an Arrow string array with per-row seeds.
+    Null entries follow Spark semantics: the seed passes through
+    unchanged (xxhash64 skips null columns)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_string())  # one offsets dtype to handle
+    n = len(arr)
+    validity, offsets_buf, data_buf = arr.buffers()
+    offsets = _np.frombuffer(offsets_buf, dtype=_np.int64, count=n + 1, offset=arr.offset * 8)
+    data = _np.frombuffer(data_buf, dtype=_np.uint8) if data_buf is not None else _np.empty(0, _np.uint8)
+    lengths = (offsets[1:] - offsets[:-1]).astype(_np.int64)
+    out = seeds.copy()
+    valid = _np.ones(n, dtype=bool)
+    if arr.null_count:
+        valid = _np.array(arr.is_valid())
+    for L in _np.unique(lengths[valid]):
+        idx = _np.nonzero(valid & (lengths == L))[0]
+        if L == 0:
+            mat = _np.empty((len(idx), 0), dtype=_np.uint8)
+        else:
+            mat = data[offsets[idx][:, None] + _np.arange(L)]
+        out[idx] = _xxh64_fixed_np(mat, seeds[idx])
+    return out
+
+
+def buckets_np(key_arrays: list, num_buckets: int) -> "_np.ndarray":
+    """Vectorized ``bucket_of`` over Arrow string arrays (one per key
+    column): Spark's seed-chained multi-column xxhash64 starting at 42,
+    then ``pmod(signed, num_buckets)``. Returns an int64 bucket array."""
+    n = len(key_arrays[0])
+    h = _np.full(n, 42, dtype=_np.uint64)
+    for col in key_arrays:
+        h = _xxh64_string_array_np(col, h)
+    signed = h.astype(_np.int64)
+    return _np.mod(signed, _np.int64(num_buckets))
+
+
 # ----------------------------------------------------------- the source
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -483,15 +596,19 @@ class SnapshotTableWriter(DataSourceArrowWriter):
                     type=pa.string(),
                 )
                 tbl = tbl.append_column("content_sha256", shas)
-            keys = [tbl.column(k).to_pylist() for k in self.key_cols]
-            buckets = pa.array(
-                [bucket_of(list(vals), self.num_buckets) for vals in zip(*keys)],
-                type=pa.int32(),
+            # vectorized bucket hash over the Arrow buffers (round-4
+            # verdict: the per-row Python loop was the writer's ceiling)
+            bnp = buckets_np(
+                [tbl.column(k) for k in self.key_cols], self.num_buckets
             )
+            buckets = pa.array(bnp, type=pa.int64())
+            import numpy as np
             import pyarrow.compute as pc
 
-            for b in pc.unique(buckets).to_pylist():
-                by_bucket.setdefault(b, []).append(tbl.filter(pc.equal(buckets, b)))
+            for b in np.unique(bnp):
+                by_bucket.setdefault(int(b), []).append(
+                    tbl.filter(pc.equal(buckets, int(b)))
+                )
         files: dict[int, list[str]] = {}
         for b, tables in by_bucket.items():
             bdir = os.path.join(self.root, self.data_rel, f"_bucket={b}")

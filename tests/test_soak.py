@@ -35,8 +35,19 @@ EVENTS_PER_EPOCH = 50
 
 @pytest.mark.slow
 def test_soak_long_replay_with_interleaved_maintenance(spark, tmp_path):
+    _soak(spark, tmp_path, N_EPOCHS)
+
+
+def test_soak_short_replay_with_interleaved_maintenance(spark, tmp_path):
+    """Round-4 verdict #8: a shortened soak in EVERY round's CI so the
+    merge+compact+expire+vacuum loop is exercised outside the slow marker
+    (the 200-epoch variant stays slow-only)."""
+    _soak(spark, tmp_path, 30)
+
+
+def _soak(spark, tmp_path, n_epochs):
     spec = EventLogSpec(
-        seed=77, n_events=N_EPOCHS * EVENTS_PER_EPOCH, n_repos=25,
+        seed=77, n_events=n_epochs * EVENTS_PER_EPOCH, n_repos=25,
         paths_per_repo=10, p_delete=0.2,
     )
     pdf = _make_events_frame(spec).drop(columns=["lang"]).sort_values("lsn", kind="stable")
@@ -47,7 +58,7 @@ def test_soak_long_replay_with_interleaved_maintenance(spark, tmp_path):
 
     committed_lsn = 0
     meta_bytes_mid = None
-    for epoch in range(N_EPOCHS):
+    for epoch in range(n_epochs):
         chunk = pdf.iloc[epoch * EVENTS_PER_EPOCH:(epoch + 1) * EVENTS_PER_EPOCH]
         batch = spark.createDataFrame(chunk, schema=CDC_BASE_SCHEMA)
         mode = "mor" if epoch % 3 else "cow"  # mixed write modes
@@ -74,7 +85,7 @@ def test_soak_long_replay_with_interleaved_maintenance(spark, tmp_path):
             table.expire_snapshots(keep_last=5, keep_fences_per_job=16)
         if epoch % 29 == 28:
             table.vacuum()
-        if epoch == N_EPOCHS // 2:
+        if epoch == n_epochs // 2:
             meta_bytes_mid = len(json.dumps(table.meta))
 
     # wind down: fold every delta, purge everything purgeable, GC
@@ -96,7 +107,7 @@ def test_soak_long_replay_with_interleaved_maintenance(spark, tmp_path):
 
     # 2. metadata bounded: O(retained), not O(epochs)
     meta_bytes_end = len(json.dumps(table.meta))
-    assert meta_bytes_end < 60_000, f"metadata grew to {meta_bytes_end}B over {N_EPOCHS} epochs"
+    assert meta_bytes_end < 60_000, f"metadata grew to {meta_bytes_end}B over {n_epochs} epochs"
     assert meta_bytes_end < 2 * meta_bytes_mid + 10_000, (
         f"metadata kept growing: mid {meta_bytes_mid}B -> end {meta_bytes_end}B"
     )
