@@ -42,16 +42,37 @@ def read_changes(
     schema = table.schema()
     cols = [f.name for f in schema.fields]
     if not buckets:
-        empty = table.read(spark, snapshot_id=to_snapshot).limit(0)
+        empty = table.read(
+            spark, snapshot_id=to_snapshot, schema_id=table.meta["current_schema_id"]
+        ).limit(0)
         return empty.withColumn("_change_type", F.lit("insert")).limit(0)
 
+    # Both sides read under the CURRENT registry schema id (not each
+    # snapshot's own pinned schema): across a rename/drop evolution the two
+    # snapshots would otherwise surface different column names and the diff
+    # below would misalign — the field-id projection maps each side's files
+    # onto today's names, so the change feed is always in the current schema
+    # (round-5; pinned by test_read_changes_across_rename).
+    cur_sid = table.meta["current_schema_id"]
     live = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
     old = (
-        table.read(spark, snapshot_id=from_snapshot, buckets=buckets, include_tombstones=True)
+        table.read(
+            spark,
+            snapshot_id=from_snapshot,
+            buckets=buckets,
+            schema_id=cur_sid,
+            include_tombstones=True,
+        )
         .filter(live)
         .select(*[F.col(c).alias(f"_old_{c}") for c in cols])
     )
-    new = table.read(spark, snapshot_id=to_snapshot, buckets=buckets, include_tombstones=True)
+    new = table.read(
+        spark,
+        snapshot_id=to_snapshot,
+        buckets=buckets,
+        schema_id=cur_sid,
+        include_tombstones=True,
+    )
 
     cond = None
     for k in key_cols:

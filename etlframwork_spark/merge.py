@@ -282,7 +282,8 @@ def merge_batch(
     key_cols = table.key_cols
 
     # -- 1. parse/validate (S3): op whitelist + non-null key/order cols -----
-    cond = F.col("op").isin(*VALID_OPS) & F.col("lsn").isNotNull()
+    order_col = table.order_col
+    cond = F.col("op").isin(*VALID_OPS) & F.col(order_col).isNotNull()
     for k in key_cols:
         cond = cond & F.col(k).isNotNull()
     ev = batch.filter(cond)
@@ -321,8 +322,8 @@ def merge_batch(
             ev.groupBy(bucket_expr(key_cols, nb).alias(BUCKET_COL))
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.min("lsn").alias("lo"),
-                F.max("lsn").alias("hi"),
+                F.min(order_col).alias("lo"),
+                F.max(order_col).alias("hi"),
                 F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("dels"),
             )
             .collect()
@@ -367,21 +368,29 @@ def merge_batch(
         ev_aligned = ev_aligned.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
+            F.min(order_col).alias("lo"),
+            F.max(order_col).alias("hi"),
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("dels"),
         )
     if write_mode == "mor":
         unioned = ev_aligned
     else:
+        # Read stored rows under the CURRENT REGISTRY schema id (never an
+        # explicit out-of-registry StructType): read()'s field-id projection
+        # only engages when it knows the target schema_id, so passing the
+        # evolved StructType here would silently fall back to read-by-NAME
+        # and null out renamed columns' pre-rename files (round-5 bug, caught
+        # by the cdc_rename_evolution_state oracle gate). Mid-merge ADDITIVE
+        # columns (not yet committed to the registry) are null back-filled by
+        # _align below instead.
         stored = table.read(
             spark,
             buckets=affected,
-            schema=schema,
+            schema_id=table.meta["current_schema_id"],
             include_tombstones=True,
             snapshot_id=head_snapshot,
         )
-        stored_aligned = stored.select(*all_cols).withColumn("op", F.lit(_STORED))
+        stored_aligned = _align(stored, schema, []).withColumn("op", F.lit(_STORED))
         unioned = ev_aligned.unionByName(stored_aligned)
 
     # deterministic total order: (lsn, commit) — commit is unique per event;

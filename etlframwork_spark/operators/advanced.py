@@ -228,16 +228,17 @@ def percentiles_event_value(spark, sf_dir):
     )
 
 
-@query("approx_sketches_events")  # rows-only: HLL + t-digest are engine-specific
 def approx_sketches_events(spark, sf_dir):
     """The constant-memory sketch aggregates — the scale path for
     monitoring at 10^10 rows where exact variants sort or hash the world:
     approx_count_distinct (HLL, A3) and approx_percentile (A6) in one
-    pass. Sketch estimates are engine-specific, so the driver records a
-    rows-only check; the exact twins (distinct_counts,
-    percentiles_event_value) are the hash-checked baselines. Percentiles
-    are emitted as SCALAR p50/p90/p99 columns — the driver's canonicalizer
-    hashes scalars, not arrays (round-2 finding)."""
+    pass. Sketch estimates are engine-specific, so no SQL oracle exists;
+    accuracy is PINNED against the exact twins (distinct_counts,
+    percentiles_event_value) with explicit error bounds in
+    tests/test_queries.py::test_sketches_within_error_bounds — stronger
+    evidence than the rows-only driver row this occupied through round 4
+    (demoted in round 5: the driver window is 50 queries and the
+    oracle-paired rename-evolution gate takes the slot)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vq")
     )

@@ -209,6 +209,71 @@ def cdc_quarantine_stats(spark, sf_dir):
 
 
 @query(
+    "cdc_rename_evolution_state",
+    oracle="""
+    SELECT user_id, event_type, value AS metric, event_id AS last_event_id
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id DESC) = 1
+    """,
+)
+def cdc_rename_evolution_state(spark, sf_dir):
+    """Field-id rename evolution, ORACLE-PAIRED (round 5): half the events
+    are merged under the original column name ``value``, the column is
+    renamed to ``metric`` (metadata-only — the old files keep ``value``
+    on disk), and the rest arrive under the new name. The final read must
+    equal plain SQL LWW over ALL events with the value under the new name
+    — which only holds if the read projects old files onto the current
+    schema by stable field id. This is the driver-visible hash gate for
+    table._read_files / evolve_schema."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..merge import merge_batch
+    from ..table import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    name = f"cdc_rename_evo_{tag}"
+    work, built = _workdir(name)
+    root = os.path.join(work, "t")
+    if not built:
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("event_id", LongType()),
+            ]
+        )
+        table = SnapshotTable.create(
+            root, schema, key_cols=["user_id", "event_type"],
+            order_col="event_id", num_buckets=8,
+        )
+        ev = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .select("user_id", "event_type", "value", "event_id")
+            .withColumn("op", F.lit("insert"))
+        )
+        # parity split (no driver-side action): even event_ids arrive
+        # pre-rename under `value`, odd ones post-rename under `metric`
+        merge_batch(spark, table, ev.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+        table.evolve_schema(renames={"value": "metric"})
+        late = ev.filter(F.col("event_id") % 2 == 1).withColumnRenamed("value", "metric")
+        merge_batch(spark, table, late, epoch_id=1)
+        _mark_built(name, work)
+    else:
+        table = SnapshotTable.load(root)
+    return table.read(spark).select(
+        "user_id", "event_type", "metric", F.col("event_id").alias("last_event_id")
+    )
+
+
+@query(
     "cdc_lineage_rollup",
     oracle=None,  # reads the engine's own metrics table -> rows-only
 )

@@ -293,7 +293,7 @@ def lww_dedup_events(spark, sf_dir):
 )
 def distinct_counts(spark, sf_dir):
     """Exact count-distinct per group (the approx/HLL variant is exercised
-    rows-only in operators.advanced.approx_sketches_events)."""
+    accuracy-pinned vs this exact twin in tests/test_queries.py)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")

@@ -53,3 +53,54 @@ def test_read_changes_matches_oracle_diff(spark, tmp_path):
     # no-change between identical snapshots
     assert read_changes(spark, table, s2, s2).count() == 0
     assert changed_buckets(table, s2, s2) == []
+
+
+def test_read_changes_across_rename(spark, tmp_path):
+    """The change feed must surface in the CURRENT schema even when the
+    snapshot range straddles an evolve_schema rename — each side's files
+    project onto today's names by field id (round-5; the from-side used
+    to read the snapshot's own pre-rename schema and the _old_ select
+    blew up on the missing new name)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    ev_schema = StructType(schema.fields + [StructField("op", StringType())])
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), schema, key_cols=["k"], order_col="lsn", num_buckets=4
+    )
+    merge_batch(
+        spark,
+        t,
+        spark.createDataFrame([(f"k{i}", 10 + i, i, "insert") for i in range(8)], ev_schema),
+        job_id="chg",
+        epoch_id=0,
+    )
+    s0 = t.snapshot()["snapshot_id"]
+    t.evolve_schema(renames={"v": "value"})
+    new_ev = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("value", LongType()),
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+        ]
+    )
+    merge_batch(
+        spark,
+        t,
+        spark.createDataFrame(
+            [("k3", 999, 100, "insert"), ("k5", None, 101, "delete"), ("k9", 19, 102, "insert")],
+            new_ev,
+        ),
+        job_id="chg",
+        epoch_id=1,
+    )
+    s1 = t.snapshot()["snapshot_id"]
+    feed = {r["k"]: (r["_change_type"], r["value"]) for r in read_changes(spark, t, s0, s1).collect()}
+    assert feed == {"k3": ("update", 999), "k5": ("delete", None), "k9": ("insert", 19)}

@@ -215,3 +215,42 @@ def test_sql_literal_rejects_non_finite():
     for bad in (float("inf"), float("-inf"), float("nan")):
         with pytest.raises(TypeError, match="non-finite"):
             sql_literal(bad)
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+def test_merge_after_rename_keeps_old_file_values(spark, tmp_path, write_mode):
+    """Round-5 regression pin: a merge AFTER evolve_schema(renames=) must
+    read the pre-rename stored files by FIELD ID, not by name. The cow
+    path used to pass an explicit StructType into table.read(), which
+    silently disabled the field-id projection and nulled the renamed
+    column for every key whose winner predated the rename (caught by the
+    cdc_rename_evolution_state driver oracle)."""
+    t = _mk(tmp_path)
+    # epoch 0 under the original name `v`; keys k0..k19, values 100+i
+    _merge(
+        spark, t,
+        [(f"k{i}", 100 + i, f"n{i}", i, "insert") for i in range(20)],
+        0, write_mode=write_mode,
+    )
+    t.evolve_schema(renames={"v": "value"})
+    # epoch 1 under the NEW name touches only k15..k24 with higher lsns
+    new_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("value", LongType()),
+            StructField("note", StringType()),
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(f"k{i}", 200 + i, f"m{i}", 100 + i, "insert") for i in range(15, 25)],
+        new_schema,
+    )
+    merge_batch(spark, t, df, job_id="evo", epoch_id=1, write_mode=write_mode)
+    got = {r["k"]: (r["value"], r["lsn"]) for r in t.read(spark).collect()}
+    assert len(got) == 25
+    for i in range(15):  # untouched pre-rename keys keep their old values
+        assert got[f"k{i}"] == (100 + i, i), (i, got[f"k{i}"])
+    for i in range(15, 25):  # epoch-1 winners
+        assert got[f"k{i}"] == (200 + i, 100 + i), (i, got[f"k{i}"])
