@@ -352,3 +352,143 @@ def emb_ann_lsh(spark, sf_dir):
         .filter(F.col("cosine") >= 0.4)
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+# Dedup by embedding similarity: pairs with cos(a, b) >= tau are duplicate
+# candidates. The threshold is evaluated in EXACT int64 arithmetic on the
+# quantized vectors — cos >= num/den  <=>  dot > 0 AND den^2*dot^2 >=
+# num^2*norm2_a*norm2_b — so Spark and a SQL oracle agree bit-for-bit with
+# no float-comparison boundary hazard (a pair exactly AT the threshold is
+# included by both engines or neither). Domain: safe in int64 for
+# |component| <= ~2.1 at dim 64 with the 1e3 quantizer (unit-norm-ish
+# embeddings are far inside; the driver corpus max |q| is ~350).
+#
+# Scale split, same shape as topk-vs-ANN: `neardup_exact_pairs` is the
+# brute-force correctness baseline (and the oracle-paired driver query);
+# `neardup_lsh_pairs` is the 100-TB path — candidates from the multi-table
+# hyperplane codes (equi-join on exploded sign codes, hot buckets capped),
+# then the SAME exact integer verify, so precision is 1.0 by construction
+# and only recall is approximate (pinned in tests/test_similarity.py on a
+# planted-duplicate corpus).
+
+
+def _neardup_cond(num: int, den: int):
+    """cos >= num/den as an exact int64 predicate over (dot, na, nb)."""
+    if not (0 < num <= den):
+        raise ValueError(f"threshold num/den must be in (0, 1]: {num}/{den}")
+    return (F.col("dot") > 0) & (
+        F.lit(den * den) * F.col("dot") * F.col("dot")
+        >= F.lit(num * num) * F.col("na") * F.col("nb")
+    )
+
+
+def _cosine_col():
+    return (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    ).alias("cosine")
+
+
+def _pair_dot():
+    return F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+
+def neardup_exact_pairs(emb: DataFrame, num: int, den: int) -> DataFrame:
+    """ALL pairs with quantized cosine >= num/den — brute force (O(n^2)
+    pair evaluations, JVM codegen). The correctness baseline the LSH
+    variant's recall is measured against; usable directly up to ~10^5
+    vectors per group, not the 100-TB path."""
+    q = emb if "q" in emb.columns else _quantized(emb)
+    a = q.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"))
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", _pair_dot())
+        .filter(_neardup_cond(num, den))
+        .select("id_a", "id_b", _cosine_col())
+    )
+
+
+def neardup_lsh_pairs(
+    emb: DataFrame,
+    num: int,
+    den: int,
+    dim: int = EMBEDDING_DIM,
+    max_bucket: int = MAX_CODE_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs at scale: multi-table hyperplane LSH candidates
+    (one equi-join shuffle on sign codes, hot buckets capped — never
+    all-pairs) -> exact integer threshold verify. Output is a SUBSET of
+    neardup_exact_pairs (precision 1.0); recall is the multi-table hit
+    probability (high for true near-dups, cos >= ~0.9)."""
+    from .dedup import drop_hot_buckets
+
+    coded = _quantized(hyperplane_codes(emb, dim))
+    e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
+    e = drop_hot_buckets(e, "code", max_bucket)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
+    return (
+        a.join(b, ["code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", _pair_dot())
+        .filter(_neardup_cond(num, den))
+        .select("id_a", "id_b", _cosine_col())
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def neardup_keepers(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Dedup decision over an embedding near-dup pair graph: connected
+    components (shared engine: functions.dedup.connected_min_labels —
+    count-gated union-find fast path / pointer-jumping at scale), keeper =
+    min vec_id per component; singletons keep themselves."""
+    from .dedup import connected_min_labels
+
+    labels = connected_min_labels(pairs)
+    return (
+        emb.select("vec_id")
+        .join(labels, emb["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("keeper_id"),
+        )
+    )
+
+
+@query(
+    "emb_neardup_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, q,
+               list_sum(list_transform(q, x -> x * x)) AS norm2
+        FROM v
+    ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_sum(list_transform(list_zip(a.q, b.q), pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+               a.norm2 AS na, b.norm2 AS nb
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM p
+    WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+    """,
+)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, ORACLE-PAIRED (round 5): every
+    pair with quantized cosine >= 2/5, threshold evaluated in exact int64
+    so the hash matches DuckDB bit-for-bit (including pairs exactly AT
+    the boundary). tau=0.4 is calibrated to the driver corpus like
+    emb_ann_lsh (max pairwise cosine ~0.55 — a real near-dup tau of 0.9
+    would be vacuously empty here); the operator itself is
+    threshold-parametric and the LSH scale path is recall-pinned at
+    tau=0.9 on a planted-duplicate corpus in tests/test_similarity.py."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    return neardup_exact_pairs(emb, num=2, den=5)

@@ -197,3 +197,17 @@ def test_sketches_within_error_bounds(spark, sf_dir):
         for name in qs:
             lo, hi = bounds[et][f"{name}_lo"], bounds[et][f"{name}_hi"]
             assert lo - 1 <= a[name] <= hi + 1, (et, name, a[name], lo, hi)
+
+
+def test_salted_key_distribution_properties(spark, sf_dir):
+    """The demoted-from-driver salting query's promised evidence:
+    deterministic across runs, shards confined to [0, 32), and the shard
+    counts partition the input exactly (no row lost or duplicated)."""
+    from etlframwork_spark.operators.relational import salted_key_distribution
+
+    rows1 = {r["shard"]: r["n"] for r in salted_key_distribution(spark, sf_dir).collect()}
+    rows2 = {r["shard"]: r["n"] for r in salted_key_distribution(spark, sf_dir).collect()}
+    assert rows1 == rows2
+    assert set(rows1) <= set(range(32))
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(rows1.values()) == total

@@ -195,3 +195,111 @@ def test_train_ivf_empty_sample_returns_seeded(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     got = train_ivf_centroids(df, sample_mod=10**9, dim=16)
     assert np.array_equal(got, _ivf_centroids(16))
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+def _int_threshold_truth(vecs: dict, num: int, den: int):
+    """Ground truth under the SAME exact int64 rule the engine uses."""
+    q = {i: np.rint(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64) for i, v in vecs.items()}
+    n2 = {i: int(qq @ qq) for i, qq in q.items()}
+    ids = sorted(q)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = int(q[a] @ q[b])
+            if dot > 0 and den * den * dot * dot >= num * num * n2[a] * n2[b]:
+                out.add((a, b))
+    return out
+
+
+def test_neardup_exact_pairs_matches_numpy_incl_boundary(spark):
+    """Exact near-dup pairs vs an independent numpy oracle — including a
+    pair EXACTLY at the threshold (cos == 3/5): the integer rule is >=,
+    so the boundary pair must be included, with no float wobble."""
+    from etlframwork_spark.functions.similarity import neardup_exact_pairs
+
+    rows = _clustered(n_clusters=8, per_cluster=4, dim=16, seed=11)
+    # boundary pair: q=(1000,0,...) vs (600,800,0,...): cos = 0.6 == 3/5
+    pad = [0.0] * 14
+    rows = rows + [(900, [1.0, 0.0] + pad), (901, [0.6, 0.8] + pad)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_exact_pairs(df, num=3, den=5).collect()
+    }
+    want = _int_threshold_truth({i: v for i, v in rows}, 3, 5)
+    assert (900, 901) in want  # the construction really is on the boundary
+    assert got == want
+
+
+def test_neardup_lsh_subset_and_planted_recall(spark):
+    """The LSH scale path returns a SUBSET of the exact pairs (precision
+    1.0 — same integer verify) and finds planted true near-dups
+    (cos >= ~0.95) with high recall at tau=0.9."""
+    from etlframwork_spark.functions.similarity import (
+        neardup_exact_pairs,
+        neardup_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 64
+    rows = []
+    planted = []
+    vid = 0
+    for _ in range(60):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        rows.append((vid, [float(x) for x in base]))
+        dup = base + 0.05 * rng.standard_normal(dim)  # cos ~0.998
+        rows.append((vid + 1, [float(x) for x in dup]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, SCHEMA)
+    exact = {(r["id_a"], r["id_b"]) for r in neardup_exact_pairs(df, num=9, den=10).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in neardup_lsh_pairs(df, num=9, den=10, dim=dim).collect()}
+    assert lsh <= exact  # precision 1.0 by construction
+    truth = [p for p in planted if p in exact]
+    assert len(truth) >= 50  # the perturbation really plants near-dups
+    recall = sum(1 for p in truth if p in lsh) / len(truth)
+    assert recall >= 0.8, f"planted near-dup recall {recall:.2f} too low"
+
+
+def test_neardup_keepers_min_id_components(spark):
+    """Keeper = min vec_id per connected near-dup component; singletons
+    keep themselves. Chain a~a'~a'' must collapse to one keeper even if
+    (a, a'') itself is below threshold (transitivity via CC)."""
+    from etlframwork_spark.functions.similarity import (
+        neardup_exact_pairs,
+        neardup_keepers,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 32
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    chain = [base]
+    for _ in range(2):  # a' drifts from a, a'' drifts from a'
+        nxt = chain[-1] + 0.15 * rng.standard_normal(dim)
+        chain.append(nxt / np.linalg.norm(nxt))
+    other = rng.standard_normal(dim)
+    pair = [other, other + 0.05 * rng.standard_normal(dim)]
+    lone = -base  # anti-parallel: never a near-dup of anything
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(chain + pair + [lone])]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # tau = 3/4: chain links are cos 0.78 / 0.84 (edges) but the chain's
+    # endpoints sit at 0.71 (below) — CC transitivity is genuinely exercised
+    pairs = neardup_exact_pairs(df, num=3, den=4)
+    keep = {r["vec_id"]: r["keeper_id"] for r in neardup_keepers(df, pairs).collect()}
+    assert keep[0] == keep[1] == keep[2] == 0  # chain collapses to min id
+    assert keep[3] == keep[4] == 3
+    assert keep[5] == 5  # singleton keeps itself
+
+
+def test_neardup_threshold_validation():
+    import pytest as _pytest
+
+    from etlframwork_spark.functions.similarity import _neardup_cond
+
+    for num, den in ((0, 5), (6, 5), (-1, 5)):
+        with _pytest.raises(ValueError):
+            _neardup_cond(num, den)
