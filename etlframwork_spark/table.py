@@ -59,6 +59,27 @@ def bucket_expr(key_cols: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
+def _parse_simple_type(name: str):
+    """Atomic Spark type from its simple string (no session needed —
+    ``_parse_datatype_string`` requires an active SparkSession)."""
+    from pyspark.sql import types as T
+
+    mapping = {
+        "byte": T.ByteType(), "tinyint": T.ByteType(),
+        "short": T.ShortType(), "smallint": T.ShortType(),
+        "integer": T.IntegerType(), "int": T.IntegerType(),
+        "long": T.LongType(), "bigint": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "boolean": T.BooleanType(),
+        "date": T.DateType(), "timestamp": T.TimestampType(),
+        "binary": T.BinaryType(),
+    }
+    try:
+        return mapping[name.strip().lower()]
+    except KeyError:
+        raise ValueError(f"unsupported type string {name!r}; one of {sorted(mapping)}") from None
+
+
 class FenceAlreadyCommitted(Exception):
     """Raised (optionally) when a fenced commit was already applied."""
 
@@ -261,47 +282,71 @@ class SnapshotTable:
                 )
         return [f for f in new_schema.fields if f.name not in cur_by_name]
 
+    # Iceberg-spec safe type promotions (lossless widenings only): an old
+    # file's narrower values cast exactly into the new type, so the by-id
+    # read projection needs no data rewrite. Anything not listed here
+    # (narrowing, string<->numeric, ...) is rejected loudly — a lossy
+    # "evolution" silently corrupting old files is the failure mode.
+    _SAFE_WIDENINGS = {
+        "byte": {"short", "integer", "long"},
+        "short": {"integer", "long"},
+        "integer": {"long"},
+        "float": {"double"},
+    }
+
     def evolve_schema(
         self,
         renames: dict[str, str] | None = None,
         drops: list[str] | None = None,
+        widen: dict[str, str] | None = None,
     ) -> int:
-        """NON-additive schema evolution: rename and/or drop columns
-        (round-3 verdict "missing" #5 — a rename used to silently become
-        drop+add with null back-fill).
+        """NON-additive schema evolution: rename, drop, and/or type-widen
+        columns (round-3 verdict "missing" #5 — a rename used to silently
+        become drop+add with null back-fill; widen added round 5).
 
         Metadata-only, Iceberg-style: the new schema entry keeps each
         surviving column's stable FIELD ID, so files written under any
         older schema read back correctly — ``read`` projects them onto
-        the requested schema by id (old name -> new name), and time
-        travel to pre-rename snapshots still shows the old names.
+        the requested schema by id (old name -> new name, old type cast
+        to the widened type), and time travel to pre-rename snapshots
+        still shows the old names/types.
 
-        Guard rails: key/order/tombstone columns cannot be renamed or
-        dropped (they are the table's identity and ordering contract);
-        rename targets must not collide with surviving columns. NOTE for
-        CDC jobs: the change stream must start sending the NEW column
-        name after a rename — a batch still carrying the old name would
-        be treated as a brand-new additive column (fresh field id).
+        ``widen`` maps column name (the CURRENT name, pre-rename) to a
+        Spark simple type string (``"long"``, ``"double"``, ...); only the
+        Iceberg-spec lossless promotions are allowed (int->long,
+        float->double, byte/short up the integral chain).
+
+        Guard rails: key/order/tombstone columns cannot be renamed,
+        dropped, or widened (keys because xxhash64 hashes int and long to
+        DIFFERENT values — widening a key would silently re-bucket every
+        row); rename targets must not collide with surviving columns.
+        NOTE for CDC jobs: the change stream must start sending the NEW
+        column name after a rename — a batch still carrying the old name
+        would be treated as a brand-new additive column (fresh field id).
 
         Returns the new schema_id. CAS-safe against concurrent writers.
         """
         renames = dict(renames or {})
         drops = list(drops or [])
-        if not renames and not drops:
+        widen = dict(widen or {})
+        if not renames and not drops and not widen:
             return self.meta["current_schema_id"]
         protected = set(self.key_cols) | {self.order_col, TOMBSTONE_COL}
-        for name in list(renames) + drops:
+        for name in list(renames) + drops + list(widen):
             if name in protected:
                 raise ValueError(
                     f"column {name!r} is a key/order/engine column and cannot "
-                    "be renamed or dropped"
+                    "be renamed, dropped, or widened"
                 )
+        for name in widen:
+            if name in drops:
+                raise ValueError(f"column {name!r} cannot be both widened and dropped")
         for _attempt in range(_MAX_COMMIT_RETRIES):
             try:
                 self.refresh()
                 cur = self.schema()
                 cur_names = set(cur.fieldNames())
-                for old in list(renames) + drops:
+                for old in list(renames) + drops + list(widen):
                     if old not in cur_names:
                         raise KeyError(f"column {old!r} not in current schema {sorted(cur_names)}")
                 surviving = [f.name for f in cur.fields if f.name not in drops]
@@ -309,9 +354,20 @@ class SnapshotTable:
                 dup = {n for n in final_names if final_names.count(n) > 1}
                 if dup:
                     raise ValueError(f"rename collides on {sorted(dup)}")
+                new_types = {}
+                for name, to_name in widen.items():
+                    from_t = cur[name].dataType
+                    to_t = _parse_simple_type(to_name)
+                    if to_t.typeName() not in self._SAFE_WIDENINGS.get(from_t.typeName(), ()):
+                        raise ValueError(
+                            f"widen {name!r}: {from_t.simpleString()} -> "
+                            f"{to_t.simpleString()} is not a safe (lossless) "
+                            f"promotion; allowed: {self._SAFE_WIDENINGS}"
+                        )
+                    new_types[name] = to_t
                 ids = self.field_ids()
                 new_fields = [
-                    StructField(renames.get(f.name, f.name), f.dataType, True)
+                    StructField(renames.get(f.name, f.name), new_types.get(f.name, f.dataType), True)
                     for f in cur.fields
                     if f.name not in drops
                 ]

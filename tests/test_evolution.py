@@ -22,7 +22,15 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from etlframwork_spark.merge import merge_batch
 from etlframwork_spark.table import SnapshotTable
@@ -215,6 +223,128 @@ def test_sql_literal_rejects_non_finite():
     for bad in (float("inf"), float("-inf"), float("nan")):
         with pytest.raises(TypeError, match="non-finite"):
             sql_literal(bad)
+
+
+# ---------------------------------------------------------- type widening
+WIDE_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("v", IntegerType()),
+        StructField("score", FloatType()),
+        StructField("lsn", LongType()),
+    ]
+)
+WIDE_EV = StructType(WIDE_SCHEMA.fields + [StructField("op", StringType())])
+
+
+def _mk_wide(tmp_path, name="tw", nb=4):
+    return SnapshotTable.create(
+        str(tmp_path / name), WIDE_SCHEMA, key_cols=["k"], order_col="lsn", num_buckets=nb
+    )
+
+
+def _merge_wide(spark, table, rows, epoch, **kw):
+    df = spark.createDataFrame(rows, WIDE_EV)
+    return merge_batch(spark, table, df, job_id="evo", epoch_id=epoch, **kw)
+
+
+def test_widen_then_read(spark, tmp_path):
+    """int->long / float->double widening is metadata-only: old int32/
+    float32 files read back under the widened types with values intact."""
+    t = _mk_wide(tmp_path)
+    _merge_wide(spark, t, [(f"k{i}", i, i / 2.0, i, "insert") for i in range(20)], 0)
+    sid = t.evolve_schema(widen={"v": "long", "score": "double"})
+    assert sid == 1
+    types = {f.name: f.dataType for f in t.schema().fields}
+    assert isinstance(types["v"], LongType)
+    assert isinstance(types["score"], DoubleType)
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {f"k{i}": (i, i / 2.0) for i in range(20)}
+    df = t.read(spark)
+    assert dict(df.dtypes)["v"] == "bigint" and dict(df.dtypes)["score"] == "double"
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+def test_merge_after_widen_accepts_wide_values(spark, tmp_path, write_mode):
+    """After int->long widening, new batches may carry values beyond
+    int32 range; old narrow files and new wide deltas resolve together."""
+    t = _mk_wide(tmp_path)
+    _merge_wide(spark, t, [(f"k{i}", i, 0.5, i, "insert") for i in range(10)], 0,
+                write_mode=write_mode)
+    t.evolve_schema(widen={"v": "long"})
+    wide_ev = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("score", FloatType()),
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+        ]
+    )
+    big = 2**40  # does not fit int32
+    df = spark.createDataFrame(
+        [(f"k{i}", big + i, 1.5, 100 + i, "insert") for i in range(5, 15)], wide_ev
+    )
+    merge_batch(spark, t, df, job_id="evo", epoch_id=1, write_mode=write_mode)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 15
+    for i in range(5):
+        assert got[f"k{i}"] == i
+    for i in range(5, 15):
+        assert got[f"k{i}"] == big + i
+
+
+def test_time_travel_across_widen(spark, tmp_path):
+    """A pinned pre-widen snapshot reads its OWN (narrow) schema."""
+    t = _mk_wide(tmp_path)
+    _merge_wide(spark, t, [(f"k{i}", i, 1.0, i, "insert") for i in range(10)], 0)
+    pre = t.snapshot()["snapshot_id"]
+    t.evolve_schema(widen={"v": "long"})
+    old = t.read(spark, snapshot_id=pre)
+    assert dict(old.dtypes)["v"] == "int"
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"
+    assert {r["k"]: r["v"] for r in old.collect()} == {f"k{i}": i for i in range(10)}
+
+
+def test_dsv2_read_parity_after_widen(spark, tmp_path):
+    from etlframwork_spark.sources.snapshot_datasource import SnapshotTableDataSource
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    t = _mk_wide(tmp_path)
+    _merge_wide(spark, t, [(f"k{i}", i, i * 1.0, i, "insert") for i in range(30)], 0)
+    t.evolve_schema(widen={"v": "long", "score": "double"})
+    native = t.read(spark)
+    dsv2 = spark.read.format("snapshot_table").option("root", t.root).load()
+    assert dict(dsv2.dtypes)["v"] == "bigint"
+    assert _rows(dsv2.select(*native.columns)) == _rows(native)
+
+
+def test_unsafe_widen_rejected(spark, tmp_path):
+    t = _mk_wide(tmp_path)
+    with pytest.raises(ValueError, match="not a safe"):
+        t.evolve_schema(widen={"v": "short"})  # narrowing
+    with pytest.raises(ValueError, match="key/order/engine"):
+        t.evolve_schema(widen={"k": "long"})  # key col: would re-bucket
+    with pytest.raises(ValueError, match="key/order/engine"):
+        t.evolve_schema(widen={"lsn": "double"})  # protected order col
+    with pytest.raises(ValueError, match="not a safe"):
+        t.evolve_schema(widen={"score": "string"})  # cross-kind
+    with pytest.raises(ValueError, match="both widened and dropped"):
+        t.evolve_schema(drops=["v"], widen={"v": "long"})
+    with pytest.raises(KeyError, match="nope"):
+        t.evolve_schema(widen={"nope": "long"})
+    with pytest.raises(ValueError, match="unsupported type"):
+        t.evolve_schema(widen={"v": "decimal(38,0)"})
+
+
+def test_widen_combined_with_rename(spark, tmp_path):
+    """widen + rename in ONE evolution: widen keys on the CURRENT name."""
+    t = _mk_wide(tmp_path)
+    _merge_wide(spark, t, [(f"k{i}", i, 1.0, i, "insert") for i in range(10)], 0)
+    t.evolve_schema(renames={"v": "value"}, widen={"v": "long"})
+    df = t.read(spark)
+    assert "value" in df.columns and dict(df.dtypes)["value"] == "bigint"
+    assert {r["k"]: r["value"] for r in df.collect()} == {f"k{i}": i for i in range(10)}
 
 
 @pytest.mark.parametrize("write_mode", ["cow", "mor"])
