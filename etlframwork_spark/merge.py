@@ -561,3 +561,108 @@ def merge_batch(
         )
     summary["timings"] = timings
     return summary
+
+
+# ------------------------------------------------------------ predicate DML
+def delete_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    predicate,
+    filters: list[tuple] | None = None,
+) -> dict:
+    """``DELETE FROM table WHERE predicate`` with CDC-correct semantics.
+
+    Matching LIVE rows become delete TOMBSTONES (payload and content-sha
+    nulled; key + the FULL ordering key retained) via a copy-on-write
+    rewrite of only the affected buckets — the same commit shape as
+    ``maintenance.purge_tombstones``. Tombstoning instead of physical
+    removal keeps the table's replay invariants: a late/duplicate
+    re-delivery of any event at-or-below the row's (lsn, commit) order
+    cannot resurrect the key, while a genuinely newer event re-inserts it
+    (standard point-in-time DELETE under concurrent ingest). The payload
+    bytes leave the CURRENT snapshot immediately; older snapshots still
+    reference the old files until ``expire_snapshots`` + ``vacuum`` — run
+    those for a full scrub (GDPR path). ``purge_tombstones`` later
+    reclaims the tombstone rows themselves.
+
+    ``predicate``: a Column or SQL-expression string evaluated against
+    live rows only (existing tombstones are never re-deleted, which also
+    makes the operation idempotent). ``filters`` (optional triplets) are
+    scan-pruning hints forwarded to ``table.read`` — a pure optimization;
+    the predicate is always re-applied.
+
+    At 100 TB: one filtered scan to find affected buckets (stats/bucket
+    pruning applies), then a rewrite shuffling only those buckets —
+    untouched buckets carry forward by reference. Racing writers fail the
+    CAS commit and the delete recomputes from fresh state.
+    """
+    from .table import CommitConflict
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    for attempt in range(3):
+        try:
+            return _delete_once(spark, table, pred, filters)
+        except CommitConflict:
+            if attempt == 2:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _delete_once(spark, table, pred, filters) -> dict:
+    table.refresh()
+    read_snapshot = table.snapshot()["snapshot_id"]
+    nb = table.num_buckets
+    live = table.read(spark, filters=filters)
+    hit = (
+        live.filter(pred)
+        .select(bucket_expr(table.key_cols, nb).alias(BUCKET_COL))
+        .groupBy(BUCKET_COL)
+        .count()
+        .collect()
+    )
+    buckets = sorted(r[BUCKET_COL] for r in hit)
+    n_deleted = sum(r["count"] for r in hit)
+    if not buckets:
+        return {"buckets_rewritten": 0, "rows_deleted": 0, "snapshot_id": read_snapshot}
+
+    schema = table.schema()
+    all_cols = schema.fieldNames()
+    order_cols = [table.order_col] + (["commit"] if "commit" in all_cols else [])
+    keep_cols = set(table.key_cols) | set(order_cols) | {TOMBSTONE_COL}
+    # live row AND matches the predicate -> tombstone with nulled payload.
+    # Materialize the flag BEFORE touching TOMBSTONE_COL: the expression
+    # references _deleted, which the tombstone withColumn replaces.
+    is_live = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    full = table.read(spark, buckets=buckets, include_tombstones=True)
+    out = full.withColumn(
+        "_to_del", is_live & F.coalesce(pred.cast("boolean"), F.lit(False))
+    ).withColumn(
+        TOMBSTONE_COL, F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) | F.col("_to_del")
+    )
+    for f in schema.fields:
+        if f.name not in keep_cols:
+            out = out.withColumn(
+                f.name,
+                F.when(F.col("_to_del"), F.lit(None).cast(f.dataType)).otherwise(F.col(f.name)),
+            )
+    out = out.drop("_to_del").withColumn(BUCKET_COL, bucket_expr(table.key_cols, nb))
+    data_dir = table.new_data_dir()
+    (
+        out.repartition(max(len(buckets), 1), F.col(BUCKET_COL))
+        .sortWithinPartitions(BUCKET_COL, *table.key_cols)
+        .write.partitionBy(BUCKET_COL)
+        .option("compression", "zstd")
+        .parquet(data_dir)
+    )
+    files_by_bucket = _list_written_files(data_dir)
+    snap = table.commit(
+        files_by_bucket,
+        buckets,
+        summary={"operation": "delete_where", "rows_deleted": n_deleted},
+        validate_from_snapshot=read_snapshot,
+    )
+    return {
+        "buckets_rewritten": len(buckets),
+        "rows_deleted": n_deleted,
+        "snapshot_id": snap["snapshot_id"],
+    }

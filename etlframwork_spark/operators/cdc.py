@@ -274,6 +274,80 @@ def cdc_rename_evolution_state(spark, sf_dir):
 
 
 @query(
+    "cdc_delete_where_state",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, value, event_id
+        FROM events WHERE event_id % 2 = 0
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) = 1
+    ), wa AS (
+        SELECT user_id, event_type, value, event_id
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) = 1
+    )
+    SELECT wa.user_id, wa.event_type, wa.value,
+           wa.event_id AS last_event_id
+    FROM wa LEFT JOIN w1 USING (user_id, event_type)
+    WHERE NOT (COALESCE(w1.value >= 250, FALSE) AND wa.event_id = w1.event_id)
+    """,
+)
+def cdc_delete_where_state(spark, sf_dir):
+    """Predicate DELETE mid-ingest, ORACLE-PAIRED (round 5): even events
+    are merged, ``delete_where(value >= 250)`` tombstones the matching
+    live rows (payload scrubbed, ordering key kept), then the odd events
+    arrive. A key stays deleted only if its overall LWW winner was the
+    even-half winner the delete saw; any odd event with a higher
+    event_id re-inserts it. The oracle states exactly that in SQL — so
+    the hash matches only if the tombstones carry the right (lsn) fence
+    and the delete judged the RESOLVED live state, not raw file rows.
+    Evidence for merge.delete_where; unit coverage in tests/test_delete.py."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..merge import delete_where, merge_batch
+    from ..table import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    name = f"cdc_delete_where_{tag}"
+    work, built = _workdir(name)
+    root = os.path.join(work, "t")
+    if not built:
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("event_id", LongType()),
+            ]
+        )
+        table = SnapshotTable.create(
+            root, schema, key_cols=["user_id", "event_type"],
+            order_col="event_id", num_buckets=8,
+        )
+        ev = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .select("user_id", "event_type", "value", "event_id")
+            .withColumn("op", F.lit("insert"))
+        )
+        merge_batch(spark, table, ev.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+        delete_where(spark, table, "value >= 250")
+        merge_batch(spark, table, ev.filter(F.col("event_id") % 2 == 1), epoch_id=1)
+        _mark_built(name, work)
+    else:
+        table = SnapshotTable.load(root)
+    return table.read(spark).select(
+        "user_id", "event_type", "value", F.col("event_id").alias("last_event_id")
+    )
+
+
+@query(
     "cdc_lineage_rollup",
     oracle=None,  # reads the engine's own metrics table -> rows-only
 )

@@ -1,0 +1,153 @@
+"""Predicate DELETE (round 5): ``delete_where`` = DELETE FROM t WHERE p.
+
+CDC-correct: matching live rows become tombstones (payload + sha nulled,
+key + full ordering key kept) via a bucket-local copy-on-write rewrite, so
+
+- stale re-delivery (<= the row's (lsn, commit)) cannot resurrect the key,
+- a genuinely newer event re-inserts it,
+- the operation is idempotent (tombstones are not live, so a re-run
+  matches nothing),
+- only buckets holding matching rows are rewritten; the rest carry
+  forward by file reference,
+- ``purge_tombstones`` later reclaims the tombstone rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etlframwork_spark.merge import delete_where, merge_batch
+from etlframwork_spark.table import SnapshotTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("v", LongType()),
+        StructField("note", StringType()),
+        StructField("lsn", LongType()),
+    ]
+)
+EV = StructType(SCHEMA.fields + [StructField("op", StringType())])
+
+
+def _mk(tmp_path, nb=8):
+    return SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, key_cols=["k"], order_col="lsn", num_buckets=nb
+    )
+
+
+def _merge(spark, t, rows, epoch, **kw):
+    return merge_batch(
+        spark, t, spark.createDataFrame(rows, EV), job_id="del", epoch_id=epoch, **kw
+    )
+
+
+def test_delete_where_basic_and_idempotent(spark, tmp_path):
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, f"n{i}", i, "insert") for i in range(50)], 0)
+    r = delete_where(spark, t, "v % 2 = 0")
+    assert r["rows_deleted"] == 25
+    t.refresh()
+    got = {row["k"]: row["v"] for row in t.read(spark).collect()}
+    assert got == {f"k{i}": i for i in range(50) if i % 2 == 1}
+    # idempotent: tombstones are not live, a re-run matches nothing
+    r2 = delete_where(spark, t, "v % 2 = 0")
+    assert r2["rows_deleted"] == 0 and r2["buckets_rewritten"] == 0
+
+
+def test_delete_where_payload_scrubbed_order_kept(spark, tmp_path):
+    """Tombstones null every payload column (GDPR scrub of the current
+    snapshot) but keep the FULL ordering key so LWW still fences."""
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, "secret", i, "insert") for i in range(10)], 0)
+    delete_where(spark, t, F.col("k") == "k3")
+    t.refresh()
+    dead = (
+        t.read(spark, include_tombstones=True)
+        .filter(F.col("_deleted") & (F.col("k") == "k3"))
+        .collect()
+    )
+    assert len(dead) == 1
+    row = dead[0]
+    assert row["v"] is None and row["note"] is None  # payload scrubbed
+    assert row["lsn"] == 3  # ordering key retained
+
+
+def test_delete_where_blocks_stale_redelivery_allows_newer(spark, tmp_path):
+    t = _mk(tmp_path)
+    rows = [(f"k{i}", i, f"n{i}", i, "insert") for i in range(10)]
+    _merge(spark, t, rows, 0)
+    delete_where(spark, t, "k = 'k5'")
+    # stale re-delivery of the ORIGINAL event (same lsn, new epoch id so
+    # the fence does not skip it): the tombstone must win
+    _merge(spark, t, [("k5", 5, "n5", 5, "insert")], 1)
+    t.refresh()
+    assert t.read(spark).filter("k = 'k5'").count() == 0
+    # a genuinely newer event re-inserts
+    _merge(spark, t, [("k5", 500, "fresh", 100, "insert")], 2)
+    t.refresh()
+    got = t.read(spark).filter("k = 'k5'").collect()
+    assert len(got) == 1 and got[0]["v"] == 500
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+def test_delete_where_over_mor_deltas(spark, tmp_path, write_mode):
+    """The rewrite reads the RESOLVED state: a key whose newest version
+    lives in a delta file is judged (and tombstoned) on that version."""
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, None, i, "insert") for i in range(10)], 0,
+           write_mode=write_mode)
+    # second epoch moves k2's v from 2 -> 1000 (predicate no longer matches)
+    # and k7's v from 7 -> 2 (predicate now matches)
+    _merge(spark, t, [("k2", 1000, None, 100, "update"),
+                      ("k7", 2, None, 101, "update")], 1, write_mode=write_mode)
+    delete_where(spark, t, "v <= 2")
+    t.refresh()
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert "k7" not in got and "k0" not in got and "k1" not in got
+    assert got["k2"] == 1000  # newest version escaped the predicate
+
+
+def test_delete_where_rewrites_only_affected_buckets(spark, tmp_path):
+    t = _mk(tmp_path, nb=8)
+    _merge(spark, t, [(f"k{i}", i, None, i, "insert") for i in range(64)], 0)
+    t.refresh()
+    before = {b: list(fs) for b, fs in t.snapshot()["files"].items()}
+    r = delete_where(spark, t, "k = 'k13'")  # single key -> single bucket
+    assert r["rows_deleted"] == 1 and r["buckets_rewritten"] == 1
+    t.refresh()
+    after = t.snapshot()["files"]
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1  # every other bucket carried forward by reference
+    assert t.read(spark).count() == 63
+
+
+def test_delete_then_purge_reclaims_tombstones(spark, tmp_path):
+    from etlframwork_spark.maintenance import purge_tombstones
+
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, None, i, "insert") for i in range(20)], 0)
+    delete_where(spark, t, "v >= 15")
+    t.refresh()
+    assert (
+        t.read(spark, include_tombstones=True).filter("_deleted").count() == 5
+    )
+    purge_tombstones(spark, t, watermark_lsn=10**6)
+    t.refresh()
+    assert t.read(spark, include_tombstones=True).filter("_deleted").count() == 0
+    assert t.read(spark).count() == 15
+
+
+def test_delete_where_empty_match_is_noop_commit(spark, tmp_path):
+    t = _mk(tmp_path)
+    _merge(spark, t, [("a", 1, None, 1, "insert")], 0)
+    t.refresh()
+    sid = t.snapshot()["snapshot_id"]
+    r = delete_where(spark, t, "v > 100")
+    assert r == {"buckets_rewritten": 0, "rows_deleted": 0, "snapshot_id": sid}
+    t.refresh()
+    assert t.snapshot()["snapshot_id"] == sid  # no new snapshot

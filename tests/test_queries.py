@@ -211,3 +211,18 @@ def test_salted_key_distribution_properties(spark, sf_dir):
     assert set(rows1) <= set(range(32))
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert sum(rows1.values()) == total
+
+
+def test_source_format_roundtrip_lossless(spark, sf_dir):
+    """Demoted-from-driver format round-trip, now with the equality the
+    rows-only driver row never checked: CSV/JSON/ORC read back with the
+    explicit schema must produce IDENTICAL checksums to the parquet
+    original on every column class (long, double, string, timestamp)."""
+    from etlframwork_spark.operators.advanced import source_format_roundtrip
+
+    rows = source_format_roundtrip(spark, sf_dir).collect()
+    assert {r["format"] for r in rows} == {"parquet", "csv", "json", "orc"}
+    ref = next(r for r in rows if r["format"] == "parquet")
+    for r in rows:
+        for col in ("n_rows", "sum_value_q", "type_crc", "ts_sum", "n_props"):
+            assert r[col] == ref[col], (r["format"], col, r[col], ref[col])
