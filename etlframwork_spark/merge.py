@@ -666,3 +666,67 @@ def _delete_once(spark, table, pred, filters) -> dict:
         "rows_deleted": n_deleted,
         "snapshot_id": snap["snapshot_id"],
     }
+
+
+def update_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    assignments: dict,
+    predicate,
+    new_order: int,
+    job_id: str = "update_where",
+    epoch_id: int | None = None,
+    filters: list[tuple] | None = None,
+    **merge_kwargs,
+) -> dict:
+    """``UPDATE table SET ... WHERE predicate`` under concurrent CDC ingest.
+
+    Implemented AS A MERGE: the matching live rows are read, the
+    assignments applied, and the result fed back through ``merge_batch``
+    as a correction batch at ``new_order`` — so UPDATE inherits the whole
+    ingest contract for free: epoch fencing (pass ``epoch_id`` for
+    exactly-once), quarantine validation, LWW resolution, bucket-local
+    copy-on-write, lineage, and the content-sha invariant (updating
+    ``content`` recomputes ``content_sha256`` like any upsert).
+
+    ``new_order`` is the correction's position in the table's total
+    order and MUST be above the source's delivered watermark: events
+    already delivered (order <= new_order) can no longer beat the
+    corrected row, while genuinely newer events win as usual. The
+    original rows' unique ``commit`` tiebreak is carried through, so two
+    corrections at the same ``new_order`` stay deterministic per key.
+
+    ``assignments`` maps column name -> Column or plain literal (a str
+    IS a literal — pass ``F.expr(...)`` for an expression; auto-parsing
+    strings would make ``{"note": "flagged"}`` silently reference a
+    column named flagged). Key/order/engine columns are rejected
+    (changing a key is a delete+insert, not an update). ``filters`` are
+    scan-pruning hints for the find scan (pure optimization).
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    schema = table.schema()
+    cols = set(schema.fieldNames())
+    protected = set(table.key_cols) | {table.order_col, TOMBSTONE_COL, SHA_COL}
+    for name in assignments:
+        if name in protected:
+            raise ValueError(
+                f"column {name!r} is a key/order/engine column and cannot be "
+                "assigned (delete + re-insert to change a key; the content "
+                "sha is derived, never assigned)"
+            )
+        if name not in cols:
+            raise KeyError(f"column {name!r} not in table schema {sorted(cols)}")
+    upd = table.read(spark, filters=filters).filter(pred)
+    for name, value in assignments.items():
+        from pyspark.sql import Column
+
+        col = value if isinstance(value, Column) else F.lit(value)
+        upd = upd.withColumn(name, col.cast(schema[name].dataType))
+    upd = upd.withColumn(table.order_col, F.lit(new_order).cast("long"))
+    if SHA_COL in cols:
+        # merge_batch derives the sha for non-stored upserts; drop ours
+        upd = upd.drop(SHA_COL)
+    batch = upd.withColumn("op", F.lit("update"))
+    return merge_batch(
+        spark, table, batch, job_id=job_id, epoch_id=epoch_id, **merge_kwargs
+    )

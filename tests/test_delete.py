@@ -151,3 +151,102 @@ def test_delete_where_empty_match_is_noop_commit(spark, tmp_path):
     assert r == {"buckets_rewritten": 0, "rows_deleted": 0, "snapshot_id": sid}
     t.refresh()
     assert t.snapshot()["snapshot_id"] == sid  # no new snapshot
+
+
+# ----------------------------------------------------------------- UPDATE
+def test_update_where_basic(spark, tmp_path):
+    from etlframwork_spark.merge import update_where
+
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, f"n{i}", i, "insert") for i in range(20)], 0)
+    r = update_where(
+        spark, t, {"note": "flagged", "v": F.col("v") * 10}, "v >= 15",
+        new_order=1000, epoch_id=1,
+    )
+    assert not r.get("skipped")
+    t.refresh()
+    got = {row["k"]: (row["v"], row["note"], row["lsn"]) for row in t.read(spark).collect()}
+    assert len(got) == 20  # UPDATE never changes cardinality
+    for i in range(15):
+        assert got[f"k{i}"] == (i, f"n{i}", i)  # untouched
+    for i in range(15, 20):
+        assert got[f"k{i}"] == (i * 10, "flagged", 1000)
+
+
+def test_update_where_order_semantics(spark, tmp_path):
+    """Events at-or-below new_order lose to the correction; newer win."""
+    from etlframwork_spark.merge import update_where
+
+    t = _mk(tmp_path)
+    _merge(spark, t, [("a", 1, "x", 10, "insert")], 0)
+    update_where(spark, t, {"v": 99}, "k = 'a'", new_order=500, epoch_id=1)
+    # stale event below the correction order: must not revert
+    _merge(spark, t, [("a", 2, "stale", 400, "update")], 2)
+    t.refresh()
+    row = t.read(spark).filter("k = 'a'").collect()[0]
+    assert (row["v"], row["lsn"]) == (99, 500)
+    # genuinely newer event wins
+    _merge(spark, t, [("a", 3, "new", 600, "update")], 3)
+    t.refresh()
+    row = t.read(spark).filter("k = 'a'").collect()[0]
+    assert (row["v"], row["lsn"]) == (3, 600)
+
+
+def test_update_where_fenced_idempotent(spark, tmp_path):
+    """update_where IS a merge: the epoch fence makes re-runs no-ops."""
+    from etlframwork_spark.merge import update_where
+
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, None, i, "insert") for i in range(5)], 0)
+    update_where(spark, t, {"v": 0}, "v > 2", new_order=100, job_id="fix", epoch_id=7)
+    r2 = update_where(spark, t, {"v": 0}, "v > 2", new_order=100, job_id="fix", epoch_id=7)
+    assert r2.get("skipped")
+
+
+def test_update_where_rejects_protected_and_unknown(spark, tmp_path):
+    from etlframwork_spark.merge import update_where
+
+    t = _mk(tmp_path)
+    with pytest.raises(ValueError, match="key/order/engine"):
+        update_where(spark, t, {"k": "oops"}, "v > 0", new_order=1)
+    with pytest.raises(ValueError, match="key/order/engine"):
+        update_where(spark, t, {"lsn": 0}, "v > 0", new_order=1)
+    with pytest.raises(KeyError, match="nope"):
+        update_where(spark, t, {"nope": 1}, "v > 0", new_order=1)
+
+
+def test_update_where_recomputes_content_sha(spark, tmp_path):
+    """Updating content goes through merge's upsert path, so the derived
+    content_sha256 invariant holds on the corrected rows too."""
+    import hashlib
+
+    from etlframwork_spark.events import TARGET_BASE_SCHEMA
+    from etlframwork_spark.merge import update_where
+
+    root = str(tmp_path / "sha_t")
+    t = SnapshotTable.create(
+        root, TARGET_BASE_SCHEMA, key_cols=["repo", "path"], order_col="lsn",
+        num_buckets=4,
+    )
+    ev = StructType(
+        [
+            StructField("op", StringType()),
+            StructField("lsn", LongType()),
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("commit", StringType()),
+            StructField("content", StringType()),
+        ]
+    )
+    rows = [("insert", i, "r0", f"f{i}.py", f"c{i}", f"body {i}") for i in range(6)]
+    merge_batch(spark, t, spark.createDataFrame(rows, ev), job_id="u", epoch_id=0)
+    update_where(
+        spark, t, {"content": "REDACTED"}, "path = 'f2.py'",
+        new_order=1000, job_id="u", epoch_id=1,
+    )
+    t.refresh()
+    row = t.read(spark).filter("path = 'f2.py'").collect()[0]
+    assert row["content"] == "REDACTED"
+    assert row["content_sha256"] == hashlib.sha256(b"REDACTED").hexdigest()
+    other = t.read(spark).filter("path = 'f1.py'").collect()[0]
+    assert other["content"] == "body 1"
