@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 from typing import Any, Iterable
 
@@ -625,6 +626,144 @@ class SnapshotTable:
             df = df.filter(filters_to_expr(validate_filters(filters)))
         return df
 
+    # ----------------------------------------------------- metadata tables
+    def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Iceberg-style metadata introspection as DataFrames
+        (``table.snapshots`` / ``.files`` / ``.history`` / ``.schemas`` /
+        ``.refs`` concept). The manifest is driver-resident JSON by
+        design, so these are O(metadata) ``createDataFrame`` builds — at
+        100 TB the FILES listing is the largest (one row per live data
+        file, ~10^5-10^6 rows for sanely-sized files), still far below
+        data scale; everything else is O(#snapshots | #schemas | #refs).
+
+        ``kind``:
+        - ``snapshots``: one row per retained snapshot (operation from the
+          commit summary, base/delta file counts, fence, committed_at).
+        - ``files``: one row per data file in the CURRENT snapshot
+          (bucket, kind base|delta, writer schema_id, record_count and
+          size when tracked).
+        - ``history``: the parent-chain of the current snapshot, root
+          first (Iceberg history = reachable lineage; snapshots left by
+          expired/abandoned branches are excluded).
+        - ``schemas``: one row per schema version with its field names,
+          types, and stable field ids.
+        - ``refs``: tags and branches with their pinned snapshot ids.
+        """
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+        )
+
+        S, L, B, D = StringType(), LongType(), BooleanType(), DoubleType()
+
+        def _struct(fields):
+            return StructType([StructField(n, t, True) for n, t in fields])
+
+        if kind == "snapshots":
+            cur = self.meta["current_snapshot_id"]
+            rows = [
+                (
+                    int(s["snapshot_id"]),
+                    (None if s.get("parent_id") is None else int(s["parent_id"])),
+                    int(s.get("schema_id", 0)),
+                    int(s.get("num_buckets", self.meta["num_buckets"])),
+                    str(s.get("summary", {}).get("operation", "")) or None,
+                    s.get("fence"),
+                    float(s["committed_at"]) if s.get("committed_at") else None,
+                    sum(len(f) for f in s.get("files", {}).values()),
+                    sum(len(f) for f in s.get("delta_files", {}).values()),
+                    s["snapshot_id"] == cur,
+                )
+                for s in self.meta["snapshots"]
+            ]
+            return spark.createDataFrame(
+                rows,
+                _struct([
+                    ("snapshot_id", L), ("parent_id", L), ("schema_id", L),
+                    ("num_buckets", L), ("operation", S), ("fence", S),
+                    ("committed_at", D), ("n_base_files", L),
+                    ("n_delta_files", L), ("is_current", B),
+                ]),
+            )
+        if kind == "files":
+            snap = self.snapshot()
+            fsch = self.meta.get("file_schemas", {})
+            fstats = self.meta.get("file_stats", {})
+            rows = []
+            for fkind, key in (("base", "files"), ("delta", "delta_files")):
+                for b, rels in snap.get(key, {}).items():
+                    for rel in rels:
+                        st = fstats.get(rel, {})
+                        path = os.path.join(self.root, rel)
+                        rows.append((
+                            int(b), rel, fkind,
+                            (int(fsch[rel]) if rel in fsch else None),
+                            (int(st["rows"]) if "rows" in st else None),
+                            (int(os.path.getsize(path)) if os.path.exists(path) else None),
+                        ))
+            return spark.createDataFrame(
+                rows,
+                _struct([
+                    ("bucket", L), ("file_path", S), ("kind", S),
+                    ("schema_id", L), ("record_count", L), ("size_bytes", L),
+                ]),
+            )
+        if kind == "history":
+            by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+            chain, sid = [], self.meta["current_snapshot_id"]
+            while sid is not None and sid in by_id:
+                s = by_id[sid]
+                chain.append(s)
+                sid = s.get("parent_id")
+            rows = [
+                (
+                    int(s["snapshot_id"]),
+                    (None if s.get("parent_id") is None else int(s["parent_id"])),
+                    str(s.get("summary", {}).get("operation", "")) or None,
+                    float(s["committed_at"]) if s.get("committed_at") else None,
+                )
+                for s in reversed(chain)
+            ]
+            return spark.createDataFrame(
+                rows,
+                _struct([
+                    ("snapshot_id", L), ("parent_id", L),
+                    ("operation", S), ("committed_at", D),
+                ]),
+            )
+        if kind == "schemas":
+            cur = self.meta["current_schema_id"]
+            rows = []
+            for s in self.meta["schemas"]:
+                ids = self.field_ids(s["schema_id"])
+                for f in self.schema(s["schema_id"]).fields:
+                    rows.append((
+                        int(s["schema_id"]), f.name, f.dataType.simpleString(),
+                        int(ids[f.name]), s["schema_id"] == cur,
+                    ))
+            return spark.createDataFrame(
+                rows,
+                _struct([
+                    ("schema_id", L), ("column", S), ("type", S),
+                    ("field_id", L), ("is_current", B),
+                ]),
+            )
+        if kind == "refs":
+            rows = [("main", "branch", int(self.meta["current_snapshot_id"]))]
+            rows += [(n, "tag", int(sid)) for n, sid in self.tags().items()]
+            rows += [
+                (n, "branch", int(sid)) for n, sid in self.branches().items()
+            ]
+            return spark.createDataFrame(
+                rows, _struct([("name", S), ("type", S), ("snapshot_id", L)])
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r}; one of snapshots, files, "
+            "history, schemas, refs"
+        )
+
     # ---------------------------------------------------------------- commit
     # -------------------------------------------------------------- tags
     def set_tag(self, name: str, snapshot_id: int | None = None) -> int:
@@ -985,6 +1124,7 @@ class SnapshotTable:
         new_id = max(s["snapshot_id"] for s in self.meta["snapshots"]) + 1
         snap = {
             "snapshot_id": new_id,
+            "committed_at": round(time.time(), 3),
             "parent_id": parent["snapshot_id"],
             "schema_id": schema_id,
             "num_buckets": self.meta["num_buckets"],

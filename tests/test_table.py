@@ -345,3 +345,72 @@ def test_non_string_key_filter_skips_bucket_pin(tmp_path, spark):
     # and the read is correct (one row, id=5), not silently empty
     rows = t.read(spark, filters=[("id", "=", "5")]).collect()
     assert [(r["id"], r["val"]) for r in rows] == [(5, "v5")]
+
+
+def test_metadata_tables(spark, tmp_path):
+    """Iceberg-style metadata introspection: snapshots/files/history/
+    schemas/refs as DataFrames, consistent with the manifest."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.merge import merge_batch
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    ev = StructType(schema.fields + [StructField("op", StringType())])
+    t = SnapshotTable.create(
+        str(tmp_path / "md"), schema, key_cols=["k"], order_col="lsn", num_buckets=4
+    )
+    for e in range(2):
+        rows = [(f"k{i}", i + e * 100, i + e * 100, "insert") for i in range(10)]
+        merge_batch(
+            spark, t, spark.createDataFrame(rows, ev), job_id="md", epoch_id=e,
+            write_mode="mor" if e else "cow",
+        )
+    t.refresh()
+    t.set_tag("audit")
+    t.evolve_schema(renames={"v": "value"})
+
+    snaps = t.metadata_df(spark, "snapshots").collect()
+    assert len(snaps) == len(t.meta["snapshots"])
+    cur = [r for r in snaps if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["snapshot_id"] == t.meta["current_snapshot_id"]
+    assert all(r["committed_at"] is not None for r in snaps if r["snapshot_id"] > 0)
+    ops = set(r["operation"] for r in snaps)
+    assert "merge_cow" in ops and "merge_mor" in ops
+
+    files = t.metadata_df(spark, "files").collect()
+    snap = t.snapshot()
+    n_manifest = sum(len(f) for f in snap["files"].values()) + sum(
+        len(f) for f in snap.get("delta_files", {}).values()
+    )
+    assert len(files) == n_manifest and n_manifest > 0
+    assert {r["kind"] for r in files} <= {"base", "delta"}
+    assert all(r["size_bytes"] and r["size_bytes"] > 0 for r in files)
+    assert all(r["schema_id"] is not None for r in files)
+
+    hist = t.metadata_df(spark, "history").collect()
+    assert [r["snapshot_id"] for r in hist] == sorted(r["snapshot_id"] for r in hist)
+    assert hist[-1]["snapshot_id"] == t.meta["current_snapshot_id"]
+    assert hist[0]["parent_id"] is None or hist[0]["snapshot_id"] == 0
+
+    schemas = t.metadata_df(spark, "schemas")
+    cur_cols = {r["column"] for r in schemas.filter("is_current").collect()}
+    assert "value" in cur_cols and "v" not in cur_cols
+    vid = schemas.filter("column = 'v'").collect()[0]["field_id"]
+    nid = schemas.filter("column = 'value' AND is_current").collect()[0]["field_id"]
+    assert vid == nid  # rename kept the stable field id
+
+    refs = {
+        r["name"]: (r["type"], r["snapshot_id"])
+        for r in t.metadata_df(spark, "refs").collect()
+    }
+    assert refs["main"] == ("branch", t.meta["current_snapshot_id"])
+    assert refs["audit"][0] == "tag"
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        t.metadata_df(spark, "nope")
