@@ -26,8 +26,14 @@ from etlframwork_spark.events import (
     oracle_digests,
 )
 from etlframwork_spark.maintenance import compact_buckets, purge_tombstones
-from etlframwork_spark.merge import merge_batch
+from etlframwork_spark.merge import delete_where, merge_batch, update_where
 from etlframwork_spark.table import SnapshotTable
+
+# DML lives in a key namespace disjoint from the event log so the
+# sequential-oracle equality check stays exact: repo "__aux__", lsns far
+# above the log's range (mid-soak purge watermarks never touch them).
+AUX_BASE_LSN = 10**9
+AUX_ORDER_BASE = 2 * 10**9
 
 N_EPOCHS = 200
 EVENTS_PER_EPOCH = 50
@@ -55,6 +61,17 @@ def _soak(spark, tmp_path, n_epochs):
         str(tmp_path / "soak"), TARGET_BASE_SCHEMA, key_cols=["repo", "path"],
         order_col="lsn", num_buckets=8,
     )
+
+    # aux rows the interleaved DML (delete_where/update_where) operates on
+    aux_rows = [
+        ("insert", AUX_BASE_LSN + i, "__aux__", f"aux{i}.py", f"auxc{i}", f"aux body {i}")
+        for i in range(10)
+    ]
+    merge_batch(
+        spark, table, spark.createDataFrame(aux_rows, schema=CDC_BASE_SCHEMA),
+        job_id="soak-aux", epoch_id=0,
+    )
+    last_correction = None  # (epoch, content) of the newest update_where
 
     committed_lsn = 0
     meta_bytes_mid = None
@@ -85,25 +102,56 @@ def _soak(spark, tmp_path, n_epochs):
             table.expire_snapshots(keep_last=5, keep_fences_per_job=16)
         if epoch % 29 == 28:
             table.vacuum()
+        if epoch % 17 == 16:  # predicate UPDATE interleaved with ingest
+            content = f"corrected {epoch}"
+            out = update_where(
+                spark, table, {"content": content},
+                "repo = '__aux__' AND path <= 'aux3.py'",
+                new_order=AUX_ORDER_BASE + epoch, job_id="soak-fix", epoch_id=epoch,
+            )
+            assert not out.get("skipped")
+            last_correction = (epoch, content)
+        if epoch % 23 == 22:  # predicate DELETE interleaved with ingest
+            r = delete_where(spark, table, "repo = '__aux__' AND path = 'aux7.py'")
+            # first hit tombstones the row; later hits are idempotent no-ops
+            assert r["rows_deleted"] in (0, 1)
         if epoch == n_epochs // 2:
             meta_bytes_mid = len(json.dumps(table.meta))
 
     # wind down: fold every delta, purge everything purgeable, GC
+    # (watermark above the aux lsns so DML tombstones are reclaimed too)
     compact_buckets(spark, table, min_deltas=1)
-    purge_tombstones(spark, table, watermark_lsn=committed_lsn + 1)
+    purge_tombstones(spark, table, watermark_lsn=AUX_ORDER_BASE + n_epochs + 1)
     table.expire_snapshots(keep_last=5, keep_fences_per_job=16)
     removed = table.vacuum()
     table.refresh()
 
-    # 1. sha256-identical final state vs the sequential oracle
+    # 1. sha256-identical final state vs the sequential oracle (log keys)
     state = apply_oracle(pdf.assign(lang=None))
     dig = oracle_digests(state)
     want = {k: (dig[k], v["lsn"]) for k, v in state.items()}
+    rows = table.read(spark).collect()
     got = {
         (r["repo"], r["path"]): (r["content_sha256"], r["lsn"])
-        for r in table.read(spark).collect()
+        for r in rows
+        if r["repo"] != "__aux__"
     }
     assert got == want
+
+    # 1b. DML survived ingest + compaction + purge + expiry + vacuum
+    import hashlib
+
+    aux = {r["path"]: r for r in rows if r["repo"] == "__aux__"}
+    assert "aux7.py" not in aux, "delete_where row resurrected by maintenance"
+    assert len(aux) == 9
+    upd_epoch, upd_content = last_correction
+    for i in (0, 1, 2, 3):
+        r = aux[f"aux{i}.py"]
+        assert r["content"] == upd_content and r["lsn"] == AUX_ORDER_BASE + upd_epoch
+        assert r["content_sha256"] == hashlib.sha256(upd_content.encode()).hexdigest()
+    for i in (4, 5, 6, 8, 9):
+        r = aux[f"aux{i}.py"]
+        assert r["content"] == f"aux body {i}" and r["lsn"] == AUX_BASE_LSN + i
 
     # 2. metadata bounded: O(retained), not O(epochs)
     meta_bytes_end = len(json.dumps(table.meta))
@@ -112,7 +160,11 @@ def _soak(spark, tmp_path, n_epochs):
         f"metadata kept growing: mid {meta_bytes_mid}B -> end {meta_bytes_end}B"
     )
     assert len(table.meta["snapshots"]) <= 8
-    assert len(table.meta["committed_fences"]) <= 16
+    # fence retention is per job (soak ingest + aux seed + update_where)
+    per_job: dict[str, int] = {}
+    for fence in table.meta["committed_fences"]:
+        per_job[fence.rsplit(":", 1)[0]] = per_job.get(fence.rsplit(":", 1)[0], 0) + 1
+    assert all(n <= 16 for n in per_job.values()), per_job
     # no tombstones, no deltas, no orphan files left behind
     assert not table.has_deltas()
     from etlframwork_spark.table import TOMBSTONE_COL
