@@ -95,3 +95,103 @@ def read_changes(
     return j.withColumn("_change_type", change).filter(F.col("_change_type").isNotNull()).select(
         *out_cols, "_change_type"
     )
+
+
+# -------------------------------------------------- incremental downstream
+def last_synced_snapshot(dst: SnapshotTable, job_id: str) -> int | None:
+    """Highest source snapshot id this sync job has committed into
+    ``dst`` — recovered from dst's own fence log (``{job_id}:{src_snap}``),
+    so the sync cursor is exactly as durable and atomic as the data it
+    fences: no sidecar state to drift."""
+    best = None
+    for fence in dst.meta.get("committed_fences", {}):
+        job, _, snap = fence.rpartition(":")
+        if job == job_id and snap.isdigit():
+            best = max(best or 0, int(snap))
+    return best
+
+
+def sync_incremental(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    job_id: str = "sync",
+    transform=None,
+    **merge_kwargs,
+) -> dict:
+    """Exactly-once incremental propagation ``src -> dst`` (medallion
+    bronze->silver chaining): consume ``src``'s change feed since the
+    last sync and MERGE it into ``dst``.
+
+    The sync cursor IS a dst epoch fence (``{job_id}:{src_snapshot}``):
+    committing the changes and advancing the cursor are one atomic
+    manifest commit, re-running any sync is a fenced no-op, and a crash
+    between read and commit simply re-reads the same feed. First sync
+    bootstraps from ``src``'s full live state when the change-feed base
+    (the previous cursor) is no longer retained.
+
+    ``transform`` (optional) maps the change-feed DataFrame before the
+    merge — project/derive downstream columns; it must preserve the key
+    and order columns and MUST be deterministic (a retry re-applies it).
+
+    Scale: the feed is manifest-pruned to changed buckets (read_changes);
+    the merge rewrites only dst buckets the changes hash into. Nothing
+    here is O(table); steady-state cost is O(changed data per sync).
+    """
+    src.refresh()
+    dst.refresh()
+    cur = src.snapshot()["snapshot_id"]
+    last = last_synced_snapshot(dst, job_id)
+    if last is not None and cur <= last:
+        return {"skipped": True, "synced_from": last, "synced_to": last, "reason": "up_to_date"}
+
+    retained = {s["snapshot_id"] for s in src.meta["snapshots"]}
+    if last is not None and last in retained:
+        feed = read_changes(spark, src, last, cur)
+        batch = feed.withColumn(
+            "op",
+            F.when(F.col("_change_type") == "delete", "delete").otherwise("insert"),
+        ).drop("_change_type")
+        mode = "incremental"
+    else:
+        if last is not None:
+            # The cursor snapshot expired on src: the delete history between
+            # last and cur is GONE, so re-inserting the full state could
+            # leave rows downstream that were deleted upstream. Refuse
+            # loudly (Iceberg incremental reads fail the same way) instead
+            # of silently diverging.
+            raise ValueError(
+                f"sync cursor snapshot {last} is no longer retained on the "
+                f"source (retained: {sorted(retained)}); deletes between it "
+                f"and {cur} are unrecoverable. Recreate the downstream table "
+                "(empty dst bootstraps from the full live state) or retain "
+                "source snapshots at least as long as the sync interval "
+                "(expire_snapshots keep_last)."
+            )
+        if dst.snapshot()["files"]:
+            raise ValueError(
+                "first sync requires an EMPTY downstream table (bootstrap "
+                "writes the full live state as inserts; a non-empty dst "
+                "would keep rows the source may have deleted)"
+            )
+        # bootstrap: full live state as inserts. Pinned snapshot read so a
+        # concurrent src commit cannot tear the batch; deletes need no
+        # replay — absent keys are simply absent in the snapshot.
+        batch = src.read(spark, snapshot_id=cur).withColumn("op", F.lit("insert"))
+        mode = "bootstrap"
+    if transform is not None:
+        batch = transform(batch)
+
+    from .merge import merge_batch
+
+    out = merge_batch(
+        spark, dst, batch, job_id=job_id, epoch_id=cur, **merge_kwargs
+    )
+    return {
+        "skipped": bool(out.get("skipped")),
+        "mode": mode,
+        "synced_from": last,
+        "synced_to": cur,
+        "rows": out.get("events"),
+        "snapshot_id": out.get("snapshot_id"),
+    }

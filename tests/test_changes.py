@@ -104,3 +104,105 @@ def test_read_changes_across_rename(spark, tmp_path):
     s1 = t.snapshot()["snapshot_id"]
     feed = {r["k"]: (r["_change_type"], r["value"]) for r in read_changes(spark, t, s0, s1).collect()}
     assert feed == {"k3": ("update", 999), "k5": ("delete", None), "k9": ("insert", 19)}
+
+
+# ----------------------------------------------------- incremental sync
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SYNC_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("v", LongType()),
+        StructField("lsn", LongType()),
+    ]
+)
+_SYNC_EV = StructType(_SYNC_SCHEMA.fields + [StructField("op", StringType())])
+
+
+def _mk(tmp_path, name):
+    return SnapshotTable.create(
+        str(tmp_path / name), _SYNC_SCHEMA, key_cols=["k"], order_col="lsn",
+        num_buckets=4,
+    )
+
+
+def _merge(spark, t, rows, epoch):
+    return merge_batch(
+        spark, t, spark.createDataFrame(rows, _SYNC_EV), job_id="up", epoch_id=epoch
+    )
+
+
+def test_sync_incremental_propagates_and_fences(spark, tmp_path):
+    """Medallion chaining: bootstrap, then incremental epochs with
+    updates + deletes; downstream equals upstream after every sync;
+    re-syncing the same snapshot is a fenced no-op."""
+    from etlframwork_spark.changes import sync_incremental
+
+    src = _mk(tmp_path, "src")
+    dst = _mk(tmp_path, "dst")
+
+    _merge(spark, src, [(f"k{i}", i, i, "insert") for i in range(20)], 0)
+    r = sync_incremental(spark, src, dst, job_id="s2s")
+    assert r["mode"] == "bootstrap" and not r["skipped"]
+    dst.refresh()
+    assert _state(spark, dst) == _state(spark, src)
+
+    # epoch 1 upstream: updates + deletes
+    _merge(spark, src, [("k3", 300, 100, "update"), ("k7", 0, 101, "delete"),
+                        ("k50", 50, 102, "insert")], 1)
+    r2 = sync_incremental(spark, src, dst, job_id="s2s")
+    assert r2["mode"] == "incremental" and not r2["skipped"]
+    dst.refresh()
+    got = _state(spark, dst)
+    assert got == _state(spark, src)
+    assert ("k7",) not in {k for k in got}  # delete propagated
+    # idempotent: same src snapshot -> up-to-date no-op
+    r3 = sync_incremental(spark, src, dst, job_id="s2s")
+    assert r3["skipped"] and r3["reason"] == "up_to_date"
+
+
+def test_sync_incremental_transform(spark, tmp_path):
+    from etlframwork_spark.changes import sync_incremental
+
+    src = _mk(tmp_path, "src")
+    dst = _mk(tmp_path, "dst")
+    _merge(spark, src, [(f"k{i}", i, i, "insert") for i in range(10)], 0)
+    doubled = lambda df: df.withColumn("v", F.col("v") * 2)  # noqa: E731
+    sync_incremental(spark, src, dst, job_id="t", transform=doubled)
+    _merge(spark, src, [("k1", 100, 50, "update")], 1)
+    sync_incremental(spark, src, dst, job_id="t", transform=doubled)
+    dst.refresh()
+    got = {r["k"]: r["v"] for r in dst.read(spark).collect()}
+    assert got["k1"] == 200 and got["k2"] == 4
+
+
+def test_sync_incremental_guards(spark, tmp_path):
+    """Expired cursor and non-empty bootstrap fail loudly, not silently."""
+    import pytest as _pytest
+
+    from etlframwork_spark.changes import sync_incremental
+
+    src = _mk(tmp_path, "src")
+    dst = _mk(tmp_path, "dst")
+    _merge(spark, src, [("a", 1, 1, "insert")], 0)
+    sync_incremental(spark, src, dst, job_id="g")
+    # advance src far enough that the cursor snapshot expires
+    for e in range(1, 8):
+        _merge(spark, src, [(f"b{e}", e, 10 + e, "insert")], e)
+    src.expire_snapshots(keep_last=2)
+    src.refresh()
+    with _pytest.raises(ValueError, match="no longer retained"):
+        sync_incremental(spark, src, dst, job_id="g")
+    # non-empty dst with no cursor: bootstrap refused
+    dst2 = _mk(tmp_path, "dst2")
+    _merge(spark, dst2, [("x", 1, 1, "insert")], 0)
+    with _pytest.raises(ValueError, match="EMPTY downstream"):
+        sync_incremental(spark, src, dst2, job_id="fresh")
+
+
+def _state(spark, t):
+    return {
+        tuple(r) for r in t.read(spark).select(*[c for c in t.schema().fieldNames()
+                                                 if c != "_deleted"]).collect()
+    }
