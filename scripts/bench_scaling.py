@@ -466,7 +466,9 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "RUNS.jsonl")) as f:
         for line in f:
             h = json.loads(line)
-            if h["events"] != args.events or h.get("exec_cores") != args.exec_cores:
+            # RUNS.jsonl also carries headline-suite entries (no "events"
+            # key) — only same-shape scaling runs feed the history stats
+            if h.get("events") != args.events or h.get("exec_cores") != args.exec_cores:
                 continue  # smoke/debug/other-mode runs must not pollute the stats
             cells = [h["measured_at"]]
             for p in h["pair_efficiencies"]:
