@@ -87,8 +87,21 @@ def read_changes(
         .when(~new_live & old_live, "delete")
         .when(new_live & old_live & (F.col(order_col) != F.col(f"_old_{order_col}")), "update")
     )
+    # Keys AND the ordering key coalesce from the old side: a key
+    # tombstoned then physically removed by purge_tombstones between the
+    # two snapshots has NO new-side row at all, so its delete would
+    # otherwise surface with a NULL order and be silently dropped by the
+    # downstream merge's validation gate (round-6 advice #2). The old
+    # side's order is the deleted row's own (lsn, commit); the downstream
+    # delete-beats-live tie-break (merge._LWW_PRI) makes a delete at that
+    # exact order deterministically remove the stored row, while any
+    # genuinely newer upstream event still wins. For insert/update rows
+    # the new side is non-null and the coalesce is an identity.
+    order_like = {order_col} | ({"commit"} if "commit" in cols else set())
     out_cols = [
-        F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c) if c in key_cols else F.col(c)
+        F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c)
+        if c in key_cols or c in order_like
+        else F.col(c)
         for c in cols
         if c != TOMBSTONE_COL
     ]
@@ -168,7 +181,10 @@ def sync_incremental(
                 "source snapshots at least as long as the sync interval "
                 "(expire_snapshots keep_last)."
             )
-        if dst.snapshot()["files"]:
+        dst_snap = dst.snapshot()
+        if dst_snap["files"] or any(dst_snap.get("delta_files", {}).values()):
+            # delta_files too: a dst populated exclusively via MOR commits
+            # (append_delta) has empty base files but is NOT empty
             raise ValueError(
                 "first sync requires an EMPTY downstream table (bootstrap "
                 "writes the full live state as inserts; a non-empty dst "

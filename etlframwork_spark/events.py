@@ -264,9 +264,13 @@ def read_log_pandas(dir_or_files: str | list[str]) -> pd.DataFrame:
 def apply_oracle(events: pd.DataFrame) -> dict[tuple[str, str], dict]:
     """Strictly (lsn, commit)-ordered sequential apply. Duplicated event
     deliveries collapse (same lsn -> same row state). Returns final state
-    keyed by (repo, path)."""
+    keyed by (repo, path). At an exact (lsn, commit) tie a delete applies
+    LAST (delete-beats-live — the engine's deterministic tie-break for
+    out-of-band tombstones stamped at a victim's own order)."""
     state: dict[tuple[str, str], dict] = {}
-    ev = events.sort_values(["lsn", "commit"], kind="stable")
+    ev = events.assign(_pri=(events["op"] == "delete").astype(int)).sort_values(
+        ["lsn", "commit", "_pri"], kind="stable"
+    )
     for row in ev.itertuples(index=False):
         key = (row.repo, row.path)
         if row.op == "delete":

@@ -72,6 +72,17 @@ from .table import BUCKET_COL, TOMBSTONE_COL, SnapshotTable, bucket_expr
 VALID_OPS = ("insert", "update", "delete")
 _STORED = "__stored__"
 SHA_COL = "content_sha256"
+# Deterministic LWW tie-break (round-6, advice item #1): at an IDENTICAL
+# (lsn, commit) ordering key, a delete/tombstone beats a live row. Ties
+# between NON-identical rows arise only from out-of-band corrections that
+# stamp a tombstone at the victim's own order (delete_where) — and then
+# again downstream when read_changes propagates that delete into a table
+# holding the identical live row. Without a tie-break, max_by's winner is
+# partition/merge-order dependent: a re-delivered original event could
+# resurrect a deleted key, and a propagated delete could silently fail to
+# apply. The priority column is appended LAST in the order struct, so it
+# only ever decides exact (lsn, commit) ties.
+_LWW_PRI = "_lww_pri"
 
 
 def _list_written_files(data_dir: str) -> dict[int, list[str]]:
@@ -394,8 +405,17 @@ def merge_batch(
         unioned = ev_aligned.unionByName(stored_aligned)
 
     # deterministic total order: (lsn, commit) — commit is unique per event;
-    # tables without a commit column fall back to lsn alone (SURVEY §7.4.3)
+    # tables without a commit column fall back to lsn alone (SURVEY §7.4.3).
+    # _LWW_PRI is appended as the FINAL order component: delete beats live
+    # at an exact (lsn, commit) tie (see the constant's comment).
     order_cols = [table.order_col] + (["commit"] if "commit" in all_cols else [])
+    if resolve != "raw":
+        del_flag = (F.col("op") == "delete") | (
+            (F.col("op") == _STORED) & F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        )
+        unioned = unioned.withColumn(_LWW_PRI, del_flag.cast("int"))
+    carry_cols = all_cols + ["op", _LWW_PRI]
+    resolve_order = order_cols + [_LWW_PRI]
     if resolve == "raw":
         # merge-on-read fast path with NO batch dedup: every validated event
         # becomes a delta row (deletes as tombstones) and read/compaction's
@@ -406,11 +426,13 @@ def merge_batch(
         # distribution). Best for insert-heavy / low-duplication streams.
         resolved = ev_aligned
     elif resolve == "maxby":
-        resolved = _resolve_maxby(unioned, key_cols, all_cols + ["op"], order_cols)
+        resolved = _resolve_maxby(unioned, key_cols, carry_cols, resolve_order).drop(_LWW_PRI)
     elif resolve == "two_phase":
-        resolved = _resolve_two_phase(unioned, key_cols, all_cols + ["op"], order_cols)
+        resolved = _resolve_two_phase(unioned, key_cols, carry_cols, resolve_order).drop(_LWW_PRI)
     elif resolve == "sorted_merge":
-        resolved = _resolve_sorted_merge(unioned, key_cols, all_cols + ["op"], order_cols, num_salts)
+        resolved = _resolve_sorted_merge(
+            unioned, key_cols, carry_cols, resolve_order, num_salts
+        ).drop(_LWW_PRI)
     else:
         raise ValueError(f"unknown resolve strategy {resolve!r}")
 
@@ -588,8 +610,11 @@ def delete_where(
     ``predicate``: a Column or SQL-expression string evaluated against
     live rows only (existing tombstones are never re-deleted, which also
     makes the operation idempotent). ``filters`` (optional triplets) are
-    scan-pruning hints forwarded to ``table.read`` — a pure optimization;
-    the predicate is always re-applied.
+    forwarded to ``table.read`` for scan pruning AND conjoined into the
+    delete condition itself — the semantics are consistently
+    ``predicate AND filters`` (round-6 advice #4: pruning-only filters
+    made the tombstoned set bucket-discovery-dependent when the filters
+    weren't implied by the predicate).
 
     At 100 TB: one filtered scan to find affected buckets (stats/bucket
     pruning applies), then a rewrite shuffling only those buckets —
@@ -609,9 +634,17 @@ def delete_where(
 
 
 def _delete_once(spark, table, pred, filters) -> dict:
+    from .stats import filters_to_expr, validate_filters
+
     table.refresh()
     read_snapshot = table.snapshot()["snapshot_id"]
     nb = table.num_buckets
+    # table.read(filters=...) re-applies the filters as a row predicate, so
+    # the find scan already counts pred AND filters; conjoin the same
+    # filters into the rewrite's delete condition below so both agree.
+    fexpr = filters_to_expr(validate_filters(filters)) if filters else None
+    if fexpr is not None:
+        pred = pred & fexpr
     live = table.read(spark, filters=filters)
     hit = (
         live.filter(pred)

@@ -464,8 +464,15 @@ class SnapshotTableReader(DataSourceReader):
             both = read_files(partition.base_files + partition.delta_files)
             pdf = both.to_pandas()
             order_cols = [self.order_col] + (["commit"] if "commit" in pdf.columns else [])
+            # deterministic tie-break, mirroring table.read / merge._LWW_PRI:
+            # a tombstone beats a live row at an exact (lsn, commit) tie
+            if "_deleted" in pdf.columns:
+                pdf["_lww_pri"] = pdf["_deleted"].fillna(False).astype(bool).astype(int)
+                order_cols = order_cols + ["_lww_pri"]
             pdf = pdf.sort_values(order_cols, kind="stable", na_position="first")
             pdf = pdf.groupby(self.key_cols, as_index=False, sort=False).tail(1)
+            if "_lww_pri" in pdf.columns:
+                pdf = pdf.drop(columns=["_lww_pri"])
             base = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
         else:
             base = read_files(partition.base_files)

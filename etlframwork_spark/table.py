@@ -603,9 +603,18 @@ class SnapshotTable:
             ddf = self._read_files(spark, dirty_files, schema, target_sid)
             cols = schema.fieldNames()
             order_cols = [self.order_col] + (["commit"] if "commit" in cols else [])
+            # same deterministic tie-break as the writer (merge._LWW_PRI):
+            # at an exact (lsn, commit) tie a tombstone beats a live row —
+            # e.g. a delete_where tombstone propagated as a MOR delta over
+            # the identical stored base row.
+            order_struct = [F.col(c) for c in order_cols]
+            if TOMBSTONE_COL in cols:
+                order_struct.append(
+                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).cast("int").alias("_lww_pri")
+                )
             winner = F.max_by(
                 F.struct(*[F.col(c) for c in cols]),
-                F.struct(*[F.col(c) for c in order_cols]),
+                F.struct(*order_struct),
             ).alias("_w")
             parts.append(
                 ddf.groupBy(*[F.col(k) for k in self.key_cols]).agg(winner).select("_w.*")

@@ -206,3 +206,74 @@ def _state(spark, t):
         tuple(r) for r in t.read(spark).select(*[c for c in t.schema().fieldNames()
                                                  if c != "_deleted"]).collect()
     }
+
+
+def test_sync_propagates_delete_where_ties(spark, tmp_path):
+    """delete_where stamps tombstones at the VICTIM's exact (lsn, commit);
+    read_changes then feeds those deletes downstream where dst holds the
+    identical live row at the identical order — a tie max_by alone does
+    not resolve deterministically. The delete-beats-live tie-break
+    (merge._LWW_PRI) must make every delete propagate (round-6 advice #1)."""
+    from etlframwork_spark.changes import sync_incremental
+    from etlframwork_spark.merge import delete_where
+
+    src = _mk(tmp_path, "src")
+    dst = _mk(tmp_path, "dst")
+    _merge(spark, src, [(f"k{i}", i, i, "insert") for i in range(20)], 0)
+    sync_incremental(spark, src, dst, job_id="tie")
+    delete_where(spark, src, "v >= 15")
+    r = sync_incremental(spark, src, dst, job_id="tie")
+    assert r["mode"] == "incremental" and not r["skipped"]
+    dst.refresh()
+    got = _state(spark, dst)
+    assert got == _state(spark, src)
+    assert {k for (k, _v, _l) in got} == {f"k{i}" for i in range(15)}
+
+
+def test_sync_propagates_delete_after_purge(spark, tmp_path):
+    """A key tombstoned then physically removed by purge_tombstones between
+    two syncs surfaces in the feed with NO new-side row; its order must
+    coalesce from the old side (round-6 advice #2 — a NULL-order delete
+    was silently dropped by the downstream merge's validation gate)."""
+    from etlframwork_spark.changes import read_changes, sync_incremental
+    from etlframwork_spark.maintenance import purge_tombstones
+
+    src = _mk(tmp_path, "src")
+    dst = _mk(tmp_path, "dst")
+    _merge(spark, src, [(f"k{i}", i, i, "insert") for i in range(10)], 0)
+    s_boot = src.snapshot()["snapshot_id"]
+    sync_incremental(spark, src, dst, job_id="purge")
+    _merge(spark, src, [("k3", None, 100, "delete"), ("k7", None, 101, "delete")], 1)
+    purge_tombstones(spark, src, watermark_lsn=1000)
+    src.refresh()
+    # the purged deletes carry a NON-NULL order coalesced from the old side
+    feed = read_changes(spark, src, s_boot, src.snapshot()["snapshot_id"])
+    dels = {r["k"]: r["lsn"] for r in feed.filter("_change_type = 'delete'").collect()}
+    assert dels == {"k3": 3, "k7": 7}
+    r = sync_incremental(spark, src, dst, job_id="purge")
+    assert not r["skipped"]
+    dst.refresh()
+    got = _state(spark, dst)
+    assert got == _state(spark, src)
+    assert not any(k in ("k3", "k7") for (k, _v, _l) in got)
+
+
+def test_sync_bootstrap_refuses_mor_only_dst(spark, tmp_path):
+    """A dst populated exclusively via MOR delta commits has empty base
+    file lists but is NOT empty — bootstrap must refuse it too (round-6
+    advice #3)."""
+    import pytest as _pytest
+
+    from etlframwork_spark.changes import sync_incremental
+
+    src = _mk(tmp_path, "src")
+    dst = _mk(tmp_path, "dst")
+    _merge(spark, src, [("a", 1, 1, "insert")], 0)
+    merge_batch(
+        spark, dst, spark.createDataFrame([("x", 1, 1, "insert")], _SYNC_EV),
+        job_id="seed", epoch_id=0, write_mode="mor",
+    )
+    dst.refresh()
+    assert not dst.snapshot()["files"]  # base empty; only deltas
+    with _pytest.raises(ValueError, match="EMPTY downstream"):
+        sync_incremental(spark, src, dst, job_id="morboot")

@@ -250,3 +250,38 @@ def test_update_where_recomputes_content_sha(spark, tmp_path):
     assert row["content_sha256"] == hashlib.sha256(b"REDACTED").hexdigest()
     other = t.read(spark).filter("path = 'f1.py'").collect()[0]
     assert other["content"] == "body 1"
+
+
+def test_delete_where_filters_conjoined(spark, tmp_path):
+    """filters are part of the delete semantics (pred AND filters), not a
+    pruning hint: a row matching pred but not filters must survive in
+    EVERY bucket, and rows_deleted must count exactly the conjunction
+    (round-6 advice #4)."""
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i * 10, f"n{i}", i, "insert") for i in range(10)], 0)
+    out = delete_where(spark, t, "v >= 50", filters=[("k", "=", "k7")])
+    assert out["rows_deleted"] == 1
+    t.refresh()
+    alive = {r["k"] for r in t.read(spark).collect()}
+    assert alive == {f"k{i}" for i in range(10)} - {"k7"}
+
+
+def test_mor_read_tie_tombstone_beats_live(spark, tmp_path):
+    """Read-time MOR resolve at an exact order tie: a delta tombstone at
+    the SAME lsn as the stored live base row must win deterministically
+    (table.read and the DSv2 reader agree)."""
+    t = _mk(tmp_path)
+    _merge(spark, t, [("a", 1, "x", 5, "insert"), ("b", 2, "y", 6, "insert")], 0)
+    merge_batch(
+        spark, t, spark.createDataFrame([("a", None, None, 5, "delete")], EV),
+        job_id="tie", epoch_id=1, write_mode="mor",
+    )
+    t.refresh()
+    assert {r["k"] for r in t.read(spark).collect()} == {"b"}
+    from etlframwork_spark.sources.snapshot_datasource import SnapshotTableDataSource
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    dsv2 = (
+        spark.read.format("snapshot_table").option("root", t.root).load()
+    )
+    assert {r["k"] for r in dsv2.collect()} == {"b"}
