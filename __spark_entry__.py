@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2; each callable
     takes (spark, sf_dir) and returns a DataFrame. Aliases match
-    oracle_sql() exactly. Registry is EXACTLY 50 entries (38
-    oracle-paired) — sized to the driver's observed 50-query window so
-    every entry gets a CORRECTNESS row (round-2 finding); subsumed demo
-    variants live on as plain functions with pytest coverage."""
+    oracle_sql() exactly. Registry is EXACTLY 50 entries (44
+    oracle-paired as of round 6) — sized to the driver's observed
+    50-query window so every entry gets a CORRECTNESS row (round-2
+    finding); subsumed/demoted variants (docs_simhash_pairs, emb_ann_lsh)
+    live on as plain functions with pytest coverage."""
     return dict(QUERIES)
 
 

@@ -638,11 +638,15 @@ def simhash_pairs(
     )
 
 
-@query("docs_simhash_pairs")  # rows-only (xxhash64-based)
 def docs_simhash_pairs(spark, sf_dir):
     """Near-dup candidate pairs at SimHash Hamming distance <= 3 — the
     banded upgrade over distance-0 code collisions (round-1 gap: exact
     collisions under-recall). Recall vs exact Jaccard asserted in
-    tests/test_dedup.py."""
+    tests/test_dedup.py.
+
+    NOT driver-registered since round 6 (was rows-only): its slot in the
+    driver's 50-query window went to the oracle-paired
+    cdc_update_where_state; correctness stays pinned by the three simhash
+    pytests (banding recall, shingle variant, exact+near)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_pairs(simhash(d)).orderBy("id_a", "id_b")

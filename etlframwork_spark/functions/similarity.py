@@ -339,13 +339,17 @@ def emb_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, cents, k=5, nprobe=2).orderBy("query_id", "rank")
 
 
-@query("emb_ann_lsh")  # rows-only: float-sum order inside the plane dot
 def emb_ann_lsh(spark, sf_dir):
     """Approximate NN via multi-table hyperplane LSH: candidates collide in
     >=1 table's sign code; exact quantized cosine re-ranks within buckets.
     Cutoff 0.4 is calibrated to the driver corpus (max pairwise cosine in
     the sf0.01 embeddings is ~0.51, so a 0.8 cutoff would be vacuously
-    empty). Recall asserted in tests/test_similarity.py."""
+    empty). Recall asserted in tests/test_similarity.py.
+
+    NOT driver-registered since round 6 (was rows-only): its slot in the
+    driver's 50-query window went to the oracle-paired
+    cdc_sync_incremental_state; correctness stays pinned by
+    test_hyperplane_lsh_recall_on_clusters."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         ann_candidate_pairs(emb)

@@ -669,6 +669,42 @@ class SnapshotTableWriter(DataSourceArrowWriter):
         shutil.rmtree(os.path.join(self.root, self.data_rel), ignore_errors=True)
 
 
+def upsert_dataframe(df, root: str, fence: str | None = None) -> None:
+    """MERGE-shaped upsert of ``df`` into the snapshot table at ``root``
+    through the DSv2 writer, with the content-sha derivation JVM-SHIFTED
+    (round-6 verdict #8): when the table tracks ``content_sha256`` and the
+    frame carries ``content`` without it, the sha is projected here with
+    ``F.sha2`` — whole-stage-codegen, no Python in the loop — so the
+    writer's per-row hashlib fallback (kept for raw ``df.write.format``
+    callers) never runs. Digest parity between the two paths is pinned in
+    tests/test_datasource.py.
+
+    The preferred INSERT-shaped interop surface; the streaming ingest hot
+    path remains ``merge_batch``.
+    """
+    from pyspark.sql import functions as F
+
+    meta = _load_meta(root)
+    table_schema = StructType.fromJson(
+        next(
+            s["struct"]
+            for s in meta["schemas"]
+            if s["schema_id"] == meta["current_schema_id"]
+        )
+    )
+    table_cols = set(table_schema.fieldNames())
+    if (
+        "content_sha256" in table_cols
+        and "content" in df.columns
+        and "content_sha256" not in df.columns
+    ):
+        df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    w = df.write.format("snapshot_table").option("root", root)
+    if fence is not None:
+        w = w.option("fence", fence)
+    w.mode("append").save()
+
+
 class SnapshotTableDataSource(DataSource):
     """``spark.read.format("snapshot_table")`` over a SnapshotTable root,
     and ``df.write.format("snapshot_table").mode("append")`` for

@@ -332,6 +332,19 @@ class SnapshotTable:
         widen = dict(widen or {})
         if not renames and not drops and not widen:
             return self.meta["current_schema_id"]
+        # Nested-field evolution is NOT supported (round-6 verdict #6):
+        # field ids are tracked per TOP-LEVEL column only, so renaming /
+        # dropping / widening a field inside a struct would silently
+        # corrupt the by-id projection of old files. Reject dotted paths
+        # loudly rather than by KeyError-on-missing-column accident.
+        for name in [*renames, *renames.values(), *drops, *widen]:
+            if "." in str(name):
+                raise ValueError(
+                    f"nested field {name!r}: schema evolution supports "
+                    "TOP-LEVEL columns only (field ids are per top-level "
+                    "field); restructure nested data with a transform + "
+                    "additive column instead"
+                )
         protected = set(self.key_cols) | {self.order_col, TOMBSTONE_COL}
         for name in list(renames) + drops + list(widen):
             if name in protected:

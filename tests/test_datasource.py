@@ -326,3 +326,28 @@ def test_vectorized_buckets_speedup():
         scalar = min(scalar or 9e9, time.monotonic() - t0)
     assert got.tolist() == want
     assert scalar / vec >= 3, f"vectorized only {scalar / vec:.1f}x faster ({vec:.3f}s vs {scalar:.3f}s)"
+
+
+def test_upsert_dataframe_jvm_sha_digest_parity(spark, tmp_path):
+    """round-6 verdict #8: upsert_dataframe pre-computes content_sha256
+    JVM-side (F.sha2) so the writer's per-row hashlib fallback never runs;
+    the committed state must be byte-identical to a raw format() write
+    that derives the sha in Python."""
+    from etlframwork_spark.sources.snapshot_datasource import upsert_dataframe
+
+    _register(spark)
+    a, b = _new_table(tmp_path, "jvm"), _new_table(tmp_path, "py")
+    chunk, _ = _event_chunks(seed=23, n_events=400)
+    pdf = chunk.drop(columns=["op"])
+    upsert_dataframe(spark.createDataFrame(pdf), a.root, fence="j:0")
+    spark.createDataFrame(pdf).write.format("snapshot_table").option(
+        "root", b.root
+    ).mode("append").save()
+    a.refresh(); b.refresh()
+    cols = ["repo", "path", "lsn", "commit", "content", "content_sha256"]
+    ra = _rows(a.read(spark).select(*cols))
+    rb = _rows(b.read(spark).select(*cols))
+    assert ra == rb and len(ra) > 0
+    # sha values are real (non-null) and fence landed
+    assert all(r[-1] is not None for r in ra)
+    assert a.is_fence_committed("j:0")

@@ -384,3 +384,32 @@ def test_merge_after_rename_keeps_old_file_values(spark, tmp_path, write_mode):
         assert got[f"k{i}"] == (100 + i, i), (i, got[f"k{i}"])
     for i in range(15, 25):  # epoch-1 winners
         assert got[f"k{i}"] == (200 + i, 100 + i), (i, got[f"k{i}"])
+
+
+def test_evolve_schema_rejects_nested_paths(tmp_path):
+    """Field ids are per TOP-LEVEL column; a dotted path must be rejected
+    loudly, not fall through to a generic missing-column error (round-6
+    verdict #6)."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.table import SnapshotTable
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), schema, key_cols=["k"], order_col="lsn", num_buckets=2
+    )
+    for kwargs in (
+        {"renames": {"payload.inner": "x"}},
+        {"renames": {"v": "payload.inner"}},
+        {"drops": ["payload.inner"]},
+        {"widen": {"payload.inner": "long"}},
+    ):
+        with _pytest.raises(ValueError, match="TOP-LEVEL columns only"):
+            t.evolve_schema(**kwargs)

@@ -142,7 +142,12 @@ def test_registry_fits_driver_window():
     queries register well inside any 50-query window."""
     names = list(QUERIES)
     assert len(names) <= 50, f"registry has {len(names)} queries; driver window is 50"
-    for q in ("multimodal_blob_metadata", "multimodal_feature_extract", "emb_ivf_topk", "emb_ann_lsh"):
+    # emb_ann_lsh / docs_simhash_pairs were demoted in round 6 (slots went
+    # to the new oracle-paired CDC gates) — assert they stay OUT
+    for q in ("emb_ann_lsh", "docs_simhash_pairs"):
+        assert q not in names, f"{q} was demoted from the driver window in round 6"
+    for q in ("multimodal_blob_metadata", "multimodal_feature_extract", "emb_ivf_topk",
+              "cdc_update_where_state", "cdc_sync_incremental_state"):
         assert names.index(q) < 45, f"{q} registers at {names.index(q)} — too close to the window edge"
 
 
