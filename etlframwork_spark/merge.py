@@ -386,6 +386,13 @@ def merge_batch(
     if write_mode == "mor":
         unioned = ev_aligned
     else:
+        # read-planning bucket (round-6 verdict #2): driver-side cost of
+        # planning the stored-side scan — scan_files pruning + the
+        # field-id _read_files grouping added in r5. Measured ~1-3 ms per
+        # epoch at 32 buckets / single live schema (see BENCH/BASELINE.md
+        # drift-attribution note); grows with live schema versions S as S
+        # multi-file scans, not with file count.
+        t_rp0 = time.monotonic()
         # Read stored rows under the CURRENT REGISTRY schema id (never an
         # explicit out-of-registry StructType): read()'s field-id projection
         # only engages when it knows the target schema_id, so passing the
@@ -403,6 +410,7 @@ def merge_batch(
         )
         stored_aligned = _align(stored, schema, []).withColumn("op", F.lit(_STORED))
         unioned = ev_aligned.unionByName(stored_aligned)
+        timings["read_plan"] = round(time.monotonic() - t_rp0, 3)
 
     # deterministic total order: (lsn, commit) — commit is unique per event;
     # tables without a commit column fall back to lsn alone (SURVEY §7.4.3).

@@ -256,7 +256,13 @@ def _load_meta(root: str) -> dict:
     if not versions:
         raise FileNotFoundError(f"no table metadata under {mdir}")
     with open(os.path.join(mdir, f"v{max(versions)}.json")) as f:
-        return json.load(f)
+        meta = json.load(f)
+    # round-6 manifest sharding: inflate per-snapshot shard pointers into
+    # the in-memory file lists this module plans against (driver-side
+    # only — executors receive pre-resolved file lists in partitions)
+    from ..table import hydrate_meta
+
+    return hydrate_meta(root, meta)
 
 
 def _resolve_snapshot_schema(meta: dict, options: dict) -> tuple[int, dict, dict, int]:

@@ -47,6 +47,48 @@ from .stats import filters_to_expr, prune_files, validate_filters
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 BUCKET_COL = "_bucket"
+
+
+def hydrate_meta(root: str, meta: dict) -> dict:
+    """Inflate manifest pointers into the in-memory representation.
+
+    Round-6 manifest sharding (Iceberg manifest-list shape): the root
+    ``v{N}.json`` stores, per snapshot, only ``manifests`` — a
+    ``{bucket -> manifest file}`` pointer map — while the per-file lists
+    and per-file stats/schema ids live in immutable
+    ``metadata/manifests/m-*.json`` shards. This keeps every IN-MEMORY
+    consumer (``snapshot()['files']``, ``meta['file_stats']``, ...)
+    unchanged: loading re-attaches ``files``/``delta_files`` to each
+    snapshot and unions the shards' stats/schemas into the top-level
+    maps. Pre-sharding metadata (snapshots already carrying ``files``)
+    passes through untouched.
+    """
+    cache: dict[str, dict] = {}
+    fstats = meta.setdefault("file_stats", {})
+    fsch = meta.setdefault("file_schemas", {})
+    for snap in meta["snapshots"]:
+        ptrs = snap.get("manifests")
+        if ptrs is None or "files" in snap:
+            continue
+        files: dict[str, list] = {}
+        deltas: dict[str, list] = {}
+        for bs, rel in ptrs.items():
+            man = cache.get(rel)
+            if man is None:
+                with open(os.path.join(root, "metadata", rel)) as f:
+                    man = json.load(f)
+                cache[rel] = man
+                fstats.update(man.get("file_stats", {}))
+                fsch.update(man.get("file_schemas", {}))
+            ent = man["buckets"][bs]
+            if ent.get("files"):
+                files[bs] = list(ent["files"])
+            if ent.get("delta_files"):
+                deltas[bs] = list(ent["delta_files"])
+        snap["files"] = files
+        if deltas:
+            snap["delta_files"] = deltas
+    return meta
 # Hidden engine column: delete tombstones. A winning delete keeps a
 # tombstone row so a late/duplicate LOWER-lsn insert re-delivery can never
 # resurrect the key (classic CDC hazard). Reads filter+drop it by default;
@@ -175,7 +217,7 @@ class SnapshotTable:
             raise FileNotFoundError(f"no table metadata under {root}")
         with open(os.path.join(root, "metadata", f"v{version}.json")) as f:
             meta = json.load(f)
-        return cls(root, meta, version)
+        return cls(root, hydrate_meta(root, meta), version)
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -202,12 +244,22 @@ class SnapshotTable:
         the ingest stream) already published this version — a plain
         ``os.rename`` would silently overwrite their committed metadata and
         lose a commit that was reported successful. On conflict raises
-        :class:`VersionConflict` for the caller to refresh-and-retry."""
+        :class:`VersionConflict` for the caller to refresh-and-retry.
+
+        The root document is the DEHYDRATED form (see ``hydrate_meta``):
+        per-snapshot manifest pointers instead of per-file lists, so the
+        bytes serialized per commit are O(snapshots x buckets) — NOT
+        O(table files). Manifest shards for buckets that have no pointer
+        yet (exactly the buckets this commit changed, plus every bucket
+        once when migrating a pre-sharding table) are written first; a
+        crash between shard write and root link leaves orphan shards that
+        ``vacuum()`` collects."""
         mdir = os.path.join(self.root, "metadata")
+        disk_meta = self._dehydrate()
         final = os.path.join(mdir, f"v{new_version}.json")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(self.meta, f)
+            json.dump(disk_meta, f)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -218,10 +270,73 @@ class SnapshotTable:
             os.remove(tmp)
         self.version = new_version
         # best-effort fast-path hint (load() never trusts it blindly)
+        self._publish_hint(mdir, new_version)
+
+    def _publish_hint(self, mdir: str, new_version: int) -> None:
         hint_tmp = os.path.join(mdir, f".hint-{uuid.uuid4().hex}")
         with open(hint_tmp, "w") as f:
             f.write(str(new_version))
         os.rename(hint_tmp, os.path.join(mdir, "version-hint.text"))
+
+    def _dehydrate(self) -> dict:
+        """Disk form of ``self.meta`` (inverse of ``hydrate_meta``).
+
+        For every snapshot, any present bucket without a manifest pointer
+        gets one: those buckets' file lists + their per-file stats and
+        writer-schema ids are written into ONE new immutable shard under
+        ``metadata/manifests/``. ``_commit_once`` pre-seeds the new
+        snapshot's pointer map with the parent's pointers minus the
+        changed buckets, so steady-state each commit writes exactly one
+        shard covering the changed buckets — O(commit delta). The root
+        keeps everything else (schemas, fences, refs, pointer maps) but
+        drops the per-file lists and the top-level stats/schema maps.
+
+        In-memory ``self.meta`` keeps the hydrated lists AND the updated
+        pointer maps (children inherit them on the next commit)."""
+        mandir = os.path.join(self.root, "metadata", "manifests")
+        fstats = self.meta.get("file_stats", {})
+        fsch = self.meta.get("file_schemas", {})
+        out_snaps = []
+        for snap in self.meta["snapshots"]:
+            files = snap.get("files", {})
+            deltas = snap.get("delta_files", {})
+            present = set(files) | {b for b, fs in deltas.items() if fs}
+            ptrs = {b: r for b, r in snap.get("manifests", {}).items() if b in present}
+            missing = sorted(b for b in present if b not in ptrs)
+            if missing:
+                man: dict[str, Any] = {"buckets": {}, "file_stats": {}, "file_schemas": {}}
+                for bs in missing:
+                    ent: dict[str, Any] = {}
+                    if files.get(bs):
+                        ent["files"] = files[bs]
+                    if deltas.get(bs):
+                        ent["delta_files"] = deltas[bs]
+                    man["buckets"][bs] = ent
+                    for rel_f in (files.get(bs) or []) + (deltas.get(bs) or []):
+                        if rel_f in fstats:
+                            man["file_stats"][rel_f] = fstats[rel_f]
+                        if rel_f in fsch:
+                            man["file_schemas"][rel_f] = fsch[rel_f]
+                os.makedirs(mandir, exist_ok=True)
+                rel = os.path.join("manifests", f"m-{uuid.uuid4().hex[:16]}.json")
+                mtmp = os.path.join(self.root, "metadata", rel + ".tmp")
+                with open(mtmp, "w") as f:
+                    json.dump(man, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(mtmp, os.path.join(self.root, "metadata", rel))
+                for bs in missing:
+                    ptrs[bs] = rel
+            snap["manifests"] = ptrs
+            disk_snap = {k: v for k, v in snap.items() if k not in ("files", "delta_files")}
+            out_snaps.append(disk_snap)
+        disk = {
+            k: v
+            for k, v in self.meta.items()
+            if k not in ("file_stats", "file_schemas", "snapshots")
+        }
+        disk["snapshots"] = out_snaps
+        return disk
 
     # ---------------------------------------------------------------- schema
     def field_ids(self, schema_id: int | None = None) -> dict[str, int]:
@@ -1143,6 +1258,14 @@ class SnapshotTable:
                     files.pop(bs, None)
                 deltas.pop(bs, None)  # replace folds deltas into the new base
 
+        # manifest-pointer inheritance (round-6 sharding): unchanged buckets
+        # keep the parent's shard pointers; the changed buckets' pointers
+        # are dropped so _dehydrate writes exactly ONE new shard for them —
+        # per-commit metadata bytes stay O(changed buckets).
+        inherited = dict(parent.get("manifests", {}))
+        for b in changed_buckets:
+            inherited.pop(str(int(b)), None)
+
         new_id = max(s["snapshot_id"] for s in self.meta["snapshots"]) + 1
         snap = {
             "snapshot_id": new_id,
@@ -1152,6 +1275,7 @@ class SnapshotTable:
             "num_buckets": self.meta["num_buckets"],
             "files": files,
             "delta_files": {b: fs for b, fs in deltas.items() if fs},
+            "manifests": inherited,
             "summary": summary or {},
             "fence": fence,
         }
@@ -1287,4 +1411,16 @@ class SnapshotTable:
                     removed += 1
             if not os.listdir(dirpath) and dirpath != data_root:
                 os.rmdir(dirpath)
+        # manifest-shard GC (same single-writer contract as data files: a
+        # concurrent writer's not-yet-published shards would look orphaned)
+        mandir = os.path.join(self.root, "metadata", "manifests")
+        if os.path.isdir(mandir):
+            live_man = {
+                r for s in self.meta["snapshots"] for r in s.get("manifests", {}).values()
+            }
+            for fn in os.listdir(mandir):
+                rel = os.path.join("manifests", fn)
+                if rel not in live_man:
+                    os.remove(os.path.join(mandir, fn))
+                    removed += 1
         return removed

@@ -1,0 +1,159 @@
+"""Round-6 manifest sharding (Iceberg manifest-list shape): the root
+metadata document stores per-snapshot {bucket -> shard} pointers; the
+per-file lists + per-file stats/schema ids live in immutable
+metadata/manifests/m-*.json shards.
+
+Invariants pinned here:
+- commit metadata bytes are O(changed buckets): a commit touching one
+  bucket writes exactly ONE new shard containing only that bucket;
+- the on-disk root carries NO per-file lists and no top-level stats map;
+- load() hydrates back to the exact same in-memory state;
+- pre-sharding (round-5) metadata still loads, and the first commit
+  migrates it;
+- vacuum() collects shards referenced by no retained snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etlframwork_spark.merge import merge_batch
+from etlframwork_spark.table import SnapshotTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("v", LongType()),
+        StructField("lsn", LongType()),
+    ]
+)
+EV = StructType(SCHEMA.fields + [StructField("op", StringType())])
+
+
+def _mk(tmp_path, nb=8):
+    return SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, key_cols=["k"], order_col="lsn", num_buckets=nb
+    )
+
+
+def _merge(spark, t, rows, epoch, **kw):
+    return merge_batch(
+        spark, t, spark.createDataFrame(rows, EV), job_id="sh", epoch_id=epoch, **kw
+    )
+
+
+def _disk_root(t):
+    with open(os.path.join(t.root, "metadata", f"v{t.version}.json")) as f:
+        return json.load(f)
+
+
+def _shards(t):
+    d = os.path.join(t.root, "metadata", "manifests")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_root_has_pointers_not_file_lists(spark, tmp_path):
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, i, "insert") for i in range(40)], 0)
+    disk = _disk_root(t)
+    assert "file_stats" not in disk and "file_schemas" not in disk
+    for snap in disk["snapshots"]:
+        assert "files" not in snap and "delta_files" not in snap
+        assert "manifests" in snap
+    # hydrated view unchanged
+    t2 = SnapshotTable.load(t.root)
+    assert t2.snapshot()["files"] == t.snapshot()["files"]
+    assert t2.meta["file_stats"] == t.meta["file_stats"]
+    assert t2.meta["file_schemas"] == t.meta["file_schemas"]
+    assert {tuple(r) for r in t2.read(spark).collect()} == {
+        (f"k{i}", i, i) for i in range(40)
+    }
+
+
+def test_commit_writes_one_shard_for_changed_buckets_only(spark, tmp_path):
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, i, "insert") for i in range(40)], 0)
+    before = set(_shards(t))
+    # single-key epoch: exactly one bucket changes
+    out = _merge(spark, t, [("k3", 999, 100, "update")], 1)
+    assert out["affected_buckets"] == 1
+    new = [s for s in _shards(t) if s not in before]
+    assert len(new) == 1, f"expected ONE new shard, got {new}"
+    with open(os.path.join(t.root, "metadata", "manifests", new[0])) as f:
+        man = json.load(f)
+    assert len(man["buckets"]) == 1  # only the changed bucket
+    # unchanged buckets still point at the epoch-0 shard(s)
+    ptrs = t.snapshot()["manifests"]
+    prev_ptrs = t.snapshot(t.snapshot()["parent_id"])["manifests"]
+    changed = [b for b, r in ptrs.items() if prev_ptrs.get(b) != r]
+    assert len(changed) == 1
+    unchanged_reused = [b for b in ptrs if b != changed[0]]
+    assert all(ptrs[b] == prev_ptrs[b] for b in unchanged_reused)
+
+
+def test_root_bytes_do_not_scale_with_total_files(spark, tmp_path):
+    """The scale claim itself: per-commit root bytes are O(snapshots x
+    buckets), flat in the number of data files accumulated via MOR
+    deltas (each epoch adds files; retention keeps snapshot count flat)."""
+    t = _mk(tmp_path, nb=4)
+    sizes = []
+    for e in range(12):
+        _merge(
+            spark, t,
+            [(f"k{i}", e, e * 100 + i, "insert") for i in range(20)],
+            e, write_mode="mor",
+        )
+        t.expire_snapshots(keep_last=3)
+        t.refresh()
+        sizes.append(os.path.getsize(os.path.join(t.root, "metadata", f"v{t.version}.json")))
+    # steady state: the last root is not meaningfully larger than the
+    # first steady one even though 12 epochs of delta files accumulated
+    assert sizes[-1] < sizes[2] * 1.5, sizes
+
+
+def test_pre_sharding_metadata_still_loads_and_migrates(spark, tmp_path):
+    t = _mk(tmp_path)
+    _merge(spark, t, [(f"k{i}", i, i, "insert") for i in range(20)], 0)
+    # simulate a round-5 root: hydrated lists inline, no pointer maps
+    legacy = json.loads(json.dumps(t.meta))  # deep copy of hydrated meta
+    for snap in legacy["snapshots"]:
+        snap.pop("manifests", None)
+    path = os.path.join(t.root, "metadata", f"v{t.version + 1}.json")
+    with open(path, "w") as f:
+        json.dump(legacy, f)
+    t2 = SnapshotTable.load(t.root)
+    assert t2.snapshot()["files"] == t.snapshot()["files"]
+    assert {tuple(r) for r in t2.read(spark).collect()} == {
+        (f"k{i}", i, i) for i in range(20)
+    }
+    # first commit after migration dehydrates everything again
+    merge_batch(
+        spark, t2, spark.createDataFrame([("k1", 7, 500, "update")], EV),
+        job_id="mig", epoch_id=0,
+    )
+    disk = _disk_root(t2)
+    for snap in disk["snapshots"]:
+        assert "files" not in snap and "manifests" in snap
+
+
+def test_vacuum_collects_orphan_shards(spark, tmp_path):
+    t = _mk(tmp_path, nb=4)
+    for e in range(8):
+        _merge(spark, t, [(f"k{e}", e, e, "insert")], e)
+    n_all = len(_shards(t))
+    t.expire_snapshots(keep_last=2)
+    t.vacuum()
+    t.refresh()
+    live = {
+        os.path.basename(r)
+        for s in t.meta["snapshots"]
+        for r in s.get("manifests", {}).values()
+    }
+    on_disk = set(_shards(t))
+    assert on_disk == live
+    assert len(on_disk) < n_all
+    # table still fully readable after GC
+    assert t.read(spark).count() == 8

@@ -153,11 +153,24 @@ def _soak(spark, tmp_path, n_epochs):
         r = aux[f"aux{i}.py"]
         assert r["content"] == f"aux body {i}" and r["lsn"] == AUX_BASE_LSN + i
 
-    # 2. metadata bounded: O(retained), not O(epochs)
+    # 2. metadata bounded: O(retained), not O(epochs). In-memory (hydrated)
+    # AND — round-6 manifest sharding — the on-disk ROOT document, which
+    # carries only pointer maps and must stay far below the hydrated size
+    # (the per-file lists/stats live in immutable shards, so per-commit
+    # serialized bytes are O(changed buckets)).
     meta_bytes_end = len(json.dumps(table.meta))
     assert meta_bytes_end < 60_000, f"metadata grew to {meta_bytes_end}B over {n_epochs} epochs"
     assert meta_bytes_end < 2 * meta_bytes_mid + 10_000, (
         f"metadata kept growing: mid {meta_bytes_mid}B -> end {meta_bytes_end}B"
+    )
+    import os as _os
+
+    root_bytes = _os.path.getsize(
+        _os.path.join(table.root, "metadata", f"v{table.version}.json")
+    )
+    assert root_bytes < meta_bytes_end, (
+        f"sharded root ({root_bytes}B) should be smaller than hydrated "
+        f"metadata ({meta_bytes_end}B)"
     )
     assert len(table.meta["snapshots"]) <= 8
     # fence retention is per job (soak ingest + aux seed + update_where)
