@@ -52,6 +52,9 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# BASELINE.md content from this marker on is hand-written and preserved
+# verbatim when the script regenerates the measured tables above it
+MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW: preserved across regenerations -->"
 
 
 def calibrate() -> float:
@@ -450,6 +453,16 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "RUNS.jsonl"), "a") as f:
         f.write(json.dumps(out) + "\n")
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written analysis sections across regenerations (round-6
+    # fix: a re-run used to clobber them): everything from the marker down
+    # is carried forward verbatim
+    manual = ""
+    if os.path.exists(md):
+        with open(md) as f:
+            old = f.read()
+        idx = old.find(MANUAL_MARKER)
+        if idx >= 0:
+            manual = old[idx:]
     level_rows = "\n".join(
         f"| {c} cores (pinned) | {runs[c]['steady_events_per_sec']:,.0f} events/s steady "
         f"(overall {runs[c]['events_per_sec']:,.0f}; wall {runs[c]['seconds']:.1f}s; "
@@ -619,7 +632,10 @@ one machine's memory bandwidth across all "executors" — a real cluster
 adds bandwidth with every node, so the single-box number is a LOWER
 bound on cluster efficiency at that size. No extrapolation is claimed.
 Regenerate with `python scripts/bench_scaling.py`.
-"""
+
+{MANUAL_MARKER}
+
+{manual[len(MANUAL_MARKER):].lstrip() if manual else ""}"""
         )
     print(f"wrote {md}", file=sys.stderr)
 
