@@ -22,6 +22,15 @@ Supported step types:
                     "batch_size"?, "num_partitions"?} -> staged warehouse
                     load; result carries the atomic swap statements
                     (sources/jdbc.JdbcWarehouseSink)
+    sync_incremental {"src_root", "dst_root", "sync_id"?, "write_mode"?}
+                    -> exactly-once downstream propagation src -> dst
+                    (changes.sync_incremental; the cursor is a dst epoch
+                    fence, so re-running the job is a fenced no-op)
+    maintenance     {"table_root", "compact_min_deltas"?,
+                    "purge_watermark_lsn"?, "expire_keep_last"?,
+                    "vacuum"?} -> run the named maintenance ops in the
+                    safe order (compact -> purge -> expire -> vacuum);
+                    only the configured ones run
 
 A job JSON document is what ``main.py`` consumes under
 ``spark-submit --py-files engine.zip main.py job.json``.
@@ -175,6 +184,48 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
             )
             swap = sink.write(spark.table(step["input"]))
             results[name] = {"type": kind, "table": step["table"], "swap_statements": swap}
+        elif kind == "sync_incremental":
+            from ..changes import sync_incremental
+
+            for req in ("src_root", "dst_root"):
+                if not isinstance(step.get(req), str) or not step[req]:
+                    raise _step_fail(name, req, "must be a non-empty table-root path")
+            wm = step.get("write_mode", "cow")
+            if wm not in ("cow", "mor"):
+                raise _step_fail(name, "write_mode", f"must be 'cow' or 'mor', got {wm!r}")
+            out = sync_incremental(
+                spark,
+                SnapshotTable.load(step["src_root"]),
+                SnapshotTable.load(step["dst_root"]),
+                job_id=step.get("sync_id", f"{spec.job_id}:{name}"),
+                write_mode=wm,
+            )
+            results[name] = {"type": kind, **out}
+        elif kind == "maintenance":
+            from ..maintenance import compact_buckets, purge_tombstones
+
+            if not isinstance(step.get("table_root"), str) or not step["table_root"]:
+                raise _step_fail(name, "table_root", "must be a non-empty table-root path")
+            t = SnapshotTable.load(step["table_root"])
+            out = {"type": kind}
+            # safe order: fold deltas first (purge rewrites read resolved
+            # state), reclaim tombstones, THEN retire snapshots and GC
+            # files — vacuum before expire would collect nothing new
+            if step.get("compact_min_deltas") is not None:
+                out["compact"] = compact_buckets(
+                    spark, t, min_deltas=int(step["compact_min_deltas"])
+                )
+            if step.get("purge_watermark_lsn") is not None:
+                out["purge"] = purge_tombstones(
+                    spark, t, watermark_lsn=int(step["purge_watermark_lsn"])
+                )
+            if step.get("expire_keep_last") is not None:
+                out["snapshots_expired"] = t.expire_snapshots(
+                    keep_last=int(step["expire_keep_last"])
+                )
+            if step.get("vacuum"):
+                out["files_vacuumed"] = t.vacuum()
+            results[name] = out
         else:
             raise ValueError(f"unknown step type {kind!r}")
     return results

@@ -285,3 +285,62 @@ def test_mor_read_tie_tombstone_beats_live(spark, tmp_path):
         spark.read.format("snapshot_table").option("root", t.root).load()
     )
     assert {r["k"] for r in dsv2.collect()} == {"b"}
+
+
+def test_tie_semantics_identical_across_strategies(spark, tmp_path):
+    """Delete-beats-live at exact order ties, uniformly: the same event
+    history — containing in-batch ties, cross-epoch ties against stored
+    rows, and a stale re-delivery against a tombstone — must produce the
+    IDENTICAL final state through every resolve strategy and write mode
+    (maxby/two_phase/sorted_merge cow, maxby/raw mor). The table has no
+    commit column, so order = lsn alone and the ties are exact."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    ev = StructType(schema.fields + [StructField("op", StringType())])
+
+    epoch0 = [(f"k{i}", i, 10 + i, "insert") for i in range(8)]
+    epoch1 = (
+        # exact-tie deletes against stored rows k0..k3
+        [(f"k{i}", None, 10 + i, "delete") for i in range(4)]
+        # in-batch tie: insert and delete of k9 at the same lsn
+        + [("k9", 99, 5, "insert"), ("k9", None, 5, "delete")]
+    )
+    epoch2 = [
+        ("k0", 1000, 10, "insert"),   # stale re-delivery: ties the tombstone, must NOT resurrect
+        ("k1", 111, 200, "insert"),   # genuinely newer: re-inserts
+    ]
+
+    def run(name, resolve, write_mode):
+        from etlframwork_spark.table import SnapshotTable as ST
+
+        t = ST.create(
+            str(tmp_path / name), schema, key_cols=["k"], order_col="lsn", num_buckets=4
+        )
+        for e, batch in enumerate((epoch0, epoch1, epoch2)):
+            merge_batch(
+                spark, t, spark.createDataFrame(batch, ev),
+                job_id=name, epoch_id=e, resolve=resolve, write_mode=write_mode,
+            )
+        t.refresh()
+        return {(r["k"], r["v"], r["lsn"]) for r in t.read(spark).collect()}
+
+    expected = (
+        {("k1", 111, 200)}
+        | {(f"k{i}", i, 10 + i) for i in range(4, 8)}
+    )
+    states = {
+        "maxby_cow": run("maxby_cow", "maxby", "cow"),
+        "two_phase_cow": run("two_phase_cow", "two_phase", "cow"),
+        "sorted_merge_cow": run("sorted_merge_cow", "sorted_merge", "cow"),
+        "maxby_mor": run("maxby_mor", "maxby", "mor"),
+        "raw_mor": run("raw_mor", "raw", "mor"),
+    }
+    for name, got in states.items():
+        assert got == expected, f"{name}: {sorted(got)} != {sorted(expected)}"

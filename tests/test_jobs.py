@@ -153,3 +153,91 @@ def test_transform_validation_names_step_and_field(spark):
     # a valid transform still works end-to-end
     run({"name": "ok", "with_columns": {"twice": "id * 2"}, "select": ["id", "twice"]})
     assert spark.table("ok").collect()[0]["twice"] == 2
+
+
+def test_job_sync_incremental_and_maintenance_steps(spark, tmp_path):
+    """Round-6 job-surface additions: declarative downstream sync (the
+    cursor is a dst fence, so re-running the JOB is a no-op) and a
+    maintenance step running compact/purge/expire/vacuum in safe order."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.merge import merge_batch
+    from etlframwork_spark.table import SnapshotTable
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    ev = StructType(schema.fields + [StructField("op", StringType())])
+    src = SnapshotTable.create(
+        str(tmp_path / "src"), schema, key_cols=["k"], order_col="lsn", num_buckets=4
+    )
+    SnapshotTable.create(
+        str(tmp_path / "dst"), schema, key_cols=["k"], order_col="lsn", num_buckets=4
+    )
+    merge_batch(
+        spark, src,
+        spark.createDataFrame(
+            [(f"k{i}", i, i, "insert") for i in range(10)]
+            + [("k3", None, 100, "delete")],
+            ev,
+        ),
+        job_id="seed", epoch_id=0, write_mode="mor",
+    )
+    steps = [
+        {
+            "type": "sync_incremental", "name": "sync",
+            "src_root": str(tmp_path / "src"), "dst_root": str(tmp_path / "dst"),
+        },
+        {
+            "type": "maintenance", "name": "maint",
+            "table_root": str(tmp_path / "src"),
+            "compact_min_deltas": 1, "purge_watermark_lsn": 1000,
+            # keep_last must retain the sync cursor's snapshot: expiring
+            # it makes the next sync fail LOUDLY by design (delete history
+            # between cursor and head becomes unrecoverable)
+            "expire_keep_last": 4, "vacuum": True,
+        },
+    ]
+    r = run_job(spark, JobSpec(job_id="medallion", steps=steps))
+    assert r["sync"]["mode"] == "bootstrap" and not r["sync"]["skipped"]
+    assert r["maint"]["compact"]["buckets_compacted"] >= 1
+    assert r["maint"]["purge"]["tombstones_purged"] == 1
+    assert "snapshots_expired" in r["maint"] and "files_vacuumed" in r["maint"]
+    dst = SnapshotTable.load(str(tmp_path / "dst"))
+    got = {row["k"]: row["v"] for row in dst.read(spark).collect()}
+    assert got == {f"k{i}": i for i in range(10) if i != 3}
+    # re-running the sync after maintenance: the src HEAD advanced
+    # (compact/purge commits) but the logical state did not — the
+    # incremental feed is empty and dst is untouched
+    r2 = run_job(spark, JobSpec(job_id="medallion", steps=steps[:1]))
+    assert r2["sync"]["mode"] == "incremental" and r2["sync"]["rows"] == 0
+    dst.refresh()
+    got2 = {row["k"]: row["v"] for row in dst.read(spark).collect()}
+    assert got2 == got
+    # and a third run with no src change at all is a fenced up_to_date no-op
+    r3 = run_job(spark, JobSpec(job_id="medallion", steps=steps[:1]))
+    assert r3["sync"]["skipped"] and r3["sync"]["reason"] == "up_to_date"
+
+
+def test_job_sync_and_maintenance_step_validation(spark, tmp_path):
+    from etlframwork_spark.plans.job import JobConfigError
+
+    import pytest as _pytest
+
+    with _pytest.raises(JobConfigError, match="src_root"):
+        run_job(spark, JobSpec(job_id="j", steps=[
+            {"type": "sync_incremental", "name": "s", "dst_root": "/x"}
+        ]))
+    with _pytest.raises(JobConfigError, match="write_mode"):
+        run_job(spark, JobSpec(job_id="j", steps=[
+            {"type": "sync_incremental", "name": "s", "src_root": "/a",
+             "dst_root": "/b", "write_mode": "bogus"}
+        ]))
+    with _pytest.raises(JobConfigError, match="table_root"):
+        run_job(spark, JobSpec(job_id="j", steps=[
+            {"type": "maintenance", "name": "m"}
+        ]))
