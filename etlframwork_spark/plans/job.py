@@ -22,10 +22,13 @@ Supported step types:
                     "batch_size"?, "num_partitions"?} -> staged warehouse
                     load; result carries the atomic swap statements
                     (sources/jdbc.JdbcWarehouseSink)
-    sync_incremental {"src_root", "dst_root", "sync_id"?, "write_mode"?}
-                    -> exactly-once downstream propagation src -> dst
-                    (changes.sync_incremental; the cursor is a dst epoch
-                    fence, so re-running the job is a fenced no-op)
+    sync_incremental {"src_root", "dst_root", "sync_id"?, "write_mode"?,
+                    "num_buckets"?} -> exactly-once downstream
+                    propagation src -> dst (changes.sync_incremental;
+                    the cursor is a dst epoch fence, so re-running the
+                    job is a fenced no-op). A missing dst table is
+                    created mirroring the source's key/order/schema,
+                    then bootstrapped
     maintenance     {"table_root", "compact_min_deltas"?,
                     "purge_watermark_lsn"?, "expire_keep_last"?,
                     "vacuum"?} -> run the named maintenance ops in the
@@ -193,9 +196,22 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
             wm = step.get("write_mode", "cow")
             if wm not in ("cow", "mor"):
                 raise _step_fail(name, "write_mode", f"must be 'cow' or 'mor', got {wm!r}")
+            src_t = SnapshotTable.load(step["src_root"])
+            if not SnapshotTable.exists(step["dst_root"]):
+                # first run of a medallion job: create the downstream table
+                # mirroring the source's spec — the sync then bootstraps
+                # into it (an EMPTY table is exactly what bootstrap demands)
+                SnapshotTable.create(
+                    step["dst_root"],
+                    src_t.schema(),
+                    key_cols=src_t.key_cols,
+                    order_col=src_t.order_col,
+                    num_buckets=int(step.get("num_buckets", src_t.num_buckets)),
+                    name=f"{spec.job_id}:{name}:dst",
+                )
             out = sync_incremental(
                 spark,
-                SnapshotTable.load(step["src_root"]),
+                src_t,
                 SnapshotTable.load(step["dst_root"]),
                 job_id=step.get("sync_id", f"{spec.job_id}:{name}"),
                 write_mode=wm,

@@ -221,6 +221,17 @@ def test_job_sync_incremental_and_maintenance_steps(spark, tmp_path):
     # and a third run with no src change at all is a fenced up_to_date no-op
     r3 = run_job(spark, JobSpec(job_id="medallion", steps=steps[:1]))
     assert r3["sync"]["skipped"] and r3["sync"]["reason"] == "up_to_date"
+    # a NON-existent dst is auto-created mirroring the source spec, then
+    # bootstrapped (first run of a medallion job needs no manual create)
+    r4 = run_job(spark, JobSpec(job_id="medallion", steps=[{
+        "type": "sync_incremental", "name": "sync2",
+        "src_root": str(tmp_path / "src"), "dst_root": str(tmp_path / "dst_auto"),
+    }]))
+    assert r4["sync2"]["mode"] == "bootstrap"
+    auto = SnapshotTable.load(str(tmp_path / "dst_auto"))
+    assert auto.key_cols == ["k"] and auto.order_col == "lsn"
+    got_auto = {row["k"]: row["v"] for row in auto.read(spark).collect()}
+    assert got_auto == got
 
 
 def test_job_sync_and_maintenance_step_validation(spark, tmp_path):
