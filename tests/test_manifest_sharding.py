@@ -157,3 +157,84 @@ def test_vacuum_collects_orphan_shards(spark, tmp_path):
     assert len(on_disk) < n_all
     # table still fully readable after GC
     assert t.read(spark).count() == 8
+
+
+def test_crash_between_shard_write_and_root_cas_is_safe(spark, tmp_path):
+    """A kill after the manifest shard is written but BEFORE the root
+    os.link publishes leaves only orphan shards: the table still loads at
+    the old version with the old state, a later commit succeeds, and
+    vacuum() collects the orphans."""
+    import pytest as _pytest
+
+    t = _mk(tmp_path, nb=4)
+    _merge(spark, t, [(f"k{i}", i, i, "insert") for i in range(12)], 0)
+    v_before = t.version
+    shards_before = set(_shards(t))
+
+    class Boom(RuntimeError):
+        pass
+
+    real_link = os.link
+
+    def exploding_link(src, dst):
+        if "/metadata/v" in dst:
+            raise Boom("simulated crash at the commit point")
+        return real_link(src, dst)
+
+    import etlframwork_spark.table as table_mod
+
+    os_mod = table_mod.os
+    os_mod.link = exploding_link
+    try:
+        with _pytest.raises(Boom):
+            _merge(spark, t, [("k0", 999, 100, "update")], 1)
+    finally:
+        os_mod.link = real_link
+    # reload: the failed commit is invisible; state is the old snapshot
+    t2 = SnapshotTable.load(t.root)
+    assert t2.version == v_before
+    assert {r["v"] for r in t2.read(spark).filter("k = 'k0'").collect()} == {0}
+    orphans = set(_shards(t2)) - shards_before
+    assert orphans, "the crashed commit should have left orphan shard(s)"
+    # a fresh commit on the recovered table works and the orphans are GC'd
+    merge_batch(
+        spark, t2, spark.createDataFrame([("k0", 999, 100, "update")], EV),
+        job_id="sh", epoch_id=1,
+    )
+    t2.expire_snapshots(keep_last=10)
+    t2.vacuum()
+    t2.refresh()
+    live = {
+        os.path.basename(r)
+        for s in t2.meta["snapshots"]
+        for r in s.get("manifests", {}).values()
+    }
+    assert set(_shards(t2)) == live
+    assert {r["v"] for r in t2.read(spark).filter("k = 'k0'").collect()} == {999}
+
+
+def test_pointer_inheritance_survives_cas_retry(spark, tmp_path):
+    """Two writers to DIFFERENT buckets race the metadata CAS: the loser
+    retries against the winner's state and must inherit the winner's
+    shard pointers — both commits' buckets resolve from disk afterwards."""
+    t = _mk(tmp_path, nb=4)
+    _merge(spark, t, [(f"k{i}", i, i, "insert") for i in range(16)], 0)
+    # a second handle simulating the concurrent writer
+    t2 = SnapshotTable.load(t.root)
+    merge_batch(
+        spark, t2, spark.createDataFrame([("k1", 101, 100, "update")], EV),
+        job_id="w2", epoch_id=0, write_mode="mor",
+    )
+    # t's in-memory meta is now STALE; its commit loses the CAS once and
+    # retries against t2's published state
+    merge_batch(
+        spark, t, spark.createDataFrame([("k2", 202, 101, "update")], EV),
+        job_id="w1", epoch_id=0, write_mode="mor",
+    )
+    fresh = SnapshotTable.load(t.root)
+    got = {r["k"]: r["v"] for r in fresh.read(spark).collect()}
+    assert got["k1"] == 101 and got["k2"] == 202  # neither commit lost
+    # every present bucket of the head snapshot has a resolvable pointer
+    snap = fresh.snapshot()
+    present = set(snap["files"]) | set(snap.get("delta_files", {}))
+    assert present <= set(snap["manifests"])
