@@ -90,3 +90,57 @@ def test_sessionize_single_sort_per_user_partitioning(spark, sf_dir):
     # both window functions evaluate inside a shared Window operator chain
     # over a single hashpartitioning(user_id) exchange
     assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
+def test_read_changes_plan_pruned_and_no_nested_loop(spark, tmp_path):
+    """The change feed (round 6, oracle-paired): the snapshot diff must
+    plan as an equi full-outer join (sort-merge or shuffled-hash — never
+    cartesian / nested-loop), and both sides' scans must read ONLY the
+    buckets whose file lists changed between the snapshots."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.changes import changed_buckets, read_changes
+    from etlframwork_spark.merge import merge_batch
+    from etlframwork_spark.table import SnapshotTable
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    ev = StructType(schema.fields + [StructField("op", StringType())])
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), schema, key_cols=["k"], order_col="lsn", num_buckets=8
+    )
+    merge_batch(
+        spark, t,
+        spark.createDataFrame([(f"k{i}", i, i, "insert") for i in range(64)], ev),
+        job_id="pp", epoch_id=0,
+    )
+    s1 = t.snapshot()["snapshot_id"]
+    merge_batch(
+        spark, t, spark.createDataFrame([("k3", 999, 100, "update")], ev),
+        job_id="pp", epoch_id=1,
+    )
+    s2 = t.snapshot()["snapshot_id"]
+
+    changed = changed_buckets(t, s1, s2)
+    assert len(changed) == 1  # single-key epoch -> single changed bucket
+
+    feed = read_changes(spark, t, s1, s2)
+    p = _plan(feed)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "FullOuter" in p or "full_outer" in p.lower()
+    # scan pruning: the planned file sets cover ONLY the changed bucket
+    new_files = set(t.scan_files(buckets=changed, snapshot_id=s2)[0])
+    all_files = set(t.scan_files(snapshot_id=s2)[0])
+    assert new_files < all_files  # strictly fewer files than a full scan
+    # and the feed's physical scans reference no file outside the changed
+    # bucket's directories (bucket dirs appear in the plan's file listing)
+    wanted_dirs = {f"_bucket={b}" for b in changed}
+    import re as _re
+
+    scanned = set(_re.findall(r"_bucket=\d+", p))
+    assert scanned and scanned <= wanted_dirs, (scanned, wanted_dirs)
