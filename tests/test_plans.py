@@ -144,3 +144,10 @@ def test_read_changes_plan_pruned_and_no_nested_loop(spark, tmp_path):
 
     scanned = set(_re.findall(r"_bucket=\d+", p))
     assert scanned and scanned <= wanted_dirs, (scanned, wanted_dirs)
+    # column pruning through the full-outer join: the OLD side only feeds
+    # the key/order coalesce and the liveness test, so its scan must NOT
+    # read the payload column — at 100 TB the old side reads ~50B/row,
+    # not the content (Catalyst prunes it; this pins that it stays so)
+    read_schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(read_schemas) == 2
+    assert any("v:" not in ln for ln in read_schemas), read_schemas
