@@ -49,6 +49,29 @@ _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 BUCKET_COL = "_bucket"
 
 
+# Process-level shard cache: manifest shards are IMMUTABLE once published
+# (a commit only ever writes new ones; vacuum may delete, never rewrite),
+# so their parsed contents can be reused across refresh()/load() calls —
+# a long-running ingest refreshes the table every epoch and would
+# otherwise re-read every retained shard each time. Bounded FIFO; at
+# 100 TB against object storage this turns per-epoch metadata reads into
+# O(new shards), not O(retained shards).
+_SHARD_CACHE: dict[tuple[str, str], dict] = {}
+_SHARD_CACHE_MAX = 4096
+
+
+def _read_shard(root: str, rel: str) -> dict:
+    key = (root, rel)
+    man = _SHARD_CACHE.get(key)
+    if man is None:
+        with open(os.path.join(root, "metadata", rel)) as f:
+            man = json.load(f)
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[key] = man
+    return man
+
+
 def hydrate_meta(root: str, meta: dict) -> dict:
     """Inflate manifest pointers into the in-memory representation.
 
@@ -75,8 +98,7 @@ def hydrate_meta(root: str, meta: dict) -> dict:
         for bs, rel in ptrs.items():
             man = cache.get(rel)
             if man is None:
-                with open(os.path.join(root, "metadata", rel)) as f:
-                    man = json.load(f)
+                man = _read_shard(root, rel)
                 cache[rel] = man
                 fstats.update(man.get("file_stats", {}))
                 fsch.update(man.get("file_schemas", {}))

@@ -238,3 +238,38 @@ def test_pointer_inheritance_survives_cas_retry(spark, tmp_path):
     snap = fresh.snapshot()
     present = set(snap["files"]) | set(snap.get("delta_files", {}))
     assert present <= set(snap["manifests"])
+
+
+def test_shard_cache_avoids_rereads_on_refresh(spark, tmp_path):
+    """Shards are immutable, so refresh() must re-read only shards it has
+    never seen — a long-running ingest refreshes every epoch and would
+    otherwise re-parse every retained shard each time."""
+    from unittest import mock
+
+    import etlframwork_spark.table as tm
+
+    t = _mk(tmp_path, nb=4)
+    for e in range(4):
+        _merge(spark, t, [(f"k{e}", e, e, "insert")], e)
+
+    opened: list[str] = []
+    real_open = open
+
+    def counting_open(path, *a, **kw):
+        mode = a[0] if a else kw.get("mode", "r")
+        if isinstance(path, str) and "/manifests/" in path and "w" not in mode:
+            opened.append(path)
+        return real_open(path, *a, **kw)
+
+    with mock.patch("builtins.open", side_effect=counting_open):
+        t.refresh()
+        first = len(opened)
+        t.refresh()  # all shards already cached -> no new reads
+        assert len(opened) == first
+        _merge(spark, t, [("k9", 9, 9, "insert")], 9)
+        t.refresh()  # exactly the ONE new shard is read
+        assert len(opened) == first + 1
+    # cache is correct, not just fast: a cold process sees identical state
+    tm._SHARD_CACHE.clear()
+    cold = SnapshotTable.load(t.root)
+    assert cold.snapshot()["files"] == t.snapshot()["files"]
