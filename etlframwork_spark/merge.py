@@ -742,7 +742,10 @@ def update_where(
     strings would make ``{"note": "flagged"}`` silently reference a
     column named flagged). Key/order/engine columns are rejected
     (changing a key is a delete+insert, not an update). ``filters`` are
-    scan-pruning hints for the find scan (pure optimization).
+    part of the update semantics — ``table.read`` re-applies them as a
+    row predicate before ``predicate``, so the corrected set is
+    consistently ``predicate AND filters`` (same contract as
+    ``delete_where``); they additionally drive scan pruning.
     """
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     schema = table.schema()

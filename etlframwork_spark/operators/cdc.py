@@ -294,14 +294,6 @@ def cdc_rename_evolution_state(spark, sf_dir):
     — which only holds if the read projects old files onto the current
     schema by stable field id. This is the driver-visible hash gate for
     table._read_files / evolve_schema."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from ..merge import merge_batch
     from ..table import SnapshotTable
 
@@ -310,16 +302,8 @@ def cdc_rename_evolution_state(spark, sf_dir):
     work, built = _workdir(name)
     root = os.path.join(work, "t")
     if not built:
-        schema = StructType(
-            [
-                StructField("user_id", LongType()),
-                StructField("event_type", StringType()),
-                StructField("value", DoubleType()),
-                StructField("event_id", LongType()),
-            ]
-        )
         table = SnapshotTable.create(
-            root, schema, key_cols=["user_id", "event_type"],
+            root, _events_table_schema(), key_cols=["user_id", "event_type"],
             order_col="event_id", num_buckets=8,
         )
         ev = (
@@ -371,14 +355,6 @@ def cdc_delete_where_state(spark, sf_dir):
     the hash matches only if the tombstones carry the right (lsn) fence
     and the delete judged the RESOLVED live state, not raw file rows.
     Evidence for merge.delete_where; unit coverage in tests/test_delete.py."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from ..merge import delete_where, merge_batch
     from ..table import SnapshotTable
 
@@ -387,16 +363,8 @@ def cdc_delete_where_state(spark, sf_dir):
     work, built = _workdir(name)
     root = os.path.join(work, "t")
     if not built:
-        schema = StructType(
-            [
-                StructField("user_id", LongType()),
-                StructField("event_type", StringType()),
-                StructField("value", DoubleType()),
-                StructField("event_id", LongType()),
-            ]
-        )
         table = SnapshotTable.create(
-            root, schema, key_cols=["user_id", "event_type"],
+            root, _events_table_schema(), key_cols=["user_id", "event_type"],
             order_col="event_id", num_buckets=8,
         )
         ev = (
@@ -489,7 +457,7 @@ def cdc_update_where_state(spark, sf_dir):
                                    ORDER BY event_id DESC) = 1
     )
     SELECT user_id, event_type, value, event_id AS last_event_id
-    FROM w WHERE op = 'insert' AND value < 150
+    FROM w WHERE op = 'insert' AND COALESCE(value < 150, TRUE)
     """,
 )
 def cdc_sync_incremental_state(spark, sf_dir):

@@ -1334,6 +1334,12 @@ class SnapshotTable:
         safe by a huge margin (a pruned fence would only matter if an epoch
         older than the window were re-delivered, which the offset log
         forbids)."""
+        if keep_last < 1:
+            # Python's snaps[-0:] is the WHOLE list — keep_last=0 would
+            # silently retain everything, the opposite of the caller's
+            # intent. Current + tagged snapshots are always retained, so
+            # there is no meaningful retention below 1; reject loudly.
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         for _attempt in range(_MAX_COMMIT_RETRIES):
             try:
                 return self._expire_once(keep_last, keep_fences_per_job)
@@ -1434,7 +1440,9 @@ class SnapshotTable:
             if not os.listdir(dirpath) and dirpath != data_root:
                 os.rmdir(dirpath)
         # manifest-shard GC (same single-writer contract as data files: a
-        # concurrent writer's not-yet-published shards would look orphaned)
+        # concurrent writer's not-yet-published shards would look orphaned).
+        # Shards are NOT counted in the return value — it reports DATA
+        # files removed, and callers reconcile it against the data dir.
         mandir = os.path.join(self.root, "metadata", "manifests")
         if os.path.isdir(mandir):
             live_man = {
@@ -1444,5 +1452,4 @@ class SnapshotTable:
                 rel = os.path.join("manifests", fn)
                 if rel not in live_man:
                     os.remove(os.path.join(mandir, fn))
-                    removed += 1
         return removed

@@ -414,3 +414,22 @@ def test_metadata_tables(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         t.metadata_df(spark, "nope")
+
+
+def test_expire_snapshots_rejects_keep_last_zero(tmp_path):
+    """keep_last=0 would silently retain EVERYTHING (snaps[-0:] is the
+    whole list) — the opposite of the caller's intent; reject loudly
+    (round-6 review finding #1)."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.table import SnapshotTable
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("lsn", LongType())]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), schema, key_cols=["k"], order_col="lsn", num_buckets=2
+    )
+    with _pytest.raises(ValueError, match="keep_last must be >= 1"):
+        t.expire_snapshots(keep_last=0)
