@@ -709,6 +709,127 @@ def _delete_once(spark, table, pred, filters) -> dict:
     }
 
 
+def merge_into(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: DataFrame,
+    new_order: int,
+    *,
+    when_matched: str = "update",
+    matched_condition=None,
+    when_not_matched: str = "insert",
+    job_id: str = "merge_into",
+    epoch_id: int | None = None,
+    **merge_kwargs,
+) -> dict:
+    """Conditional ``MERGE INTO table USING source ON keys`` — the classic
+    warehouse DML shape, composed over ``merge_batch``.
+
+    ``source`` is any DataFrame carrying the table's key columns plus the
+    payload columns to write (it does NOT need the order column — every
+    emitted change is stamped at ``new_order``, which must sit above the
+    stream's delivered watermark exactly like ``update_where``).
+
+    Clauses (each optional branch of the standard statement):
+
+    * ``when_matched``: ``"update"`` (matched target rows are upserted
+      with the source's values), ``"delete"`` (matched rows are
+      tombstoned), or ``"ignore"`` (insert-only merge).
+    * ``matched_condition``: optional SQL boolean over the joined view —
+      source columns by their own names, target columns as ``t_<name>``
+      (e.g. ``"value > t_value"`` = upsert only newer). Matched rows
+      failing it are left untouched.
+    * ``when_not_matched``: ``"insert"`` or ``"ignore"``.
+
+    Duplicate source keys are REJECTED (ANSI/Delta MERGE semantics: one
+    source row per target row; LWW silently picking one would mask a bug
+    in the feed). Everything downstream is inherited from ``merge_batch``:
+    epoch fencing via ``epoch_id``, LWW vs concurrent ingest (events above
+    ``new_order`` still win), bucket-local rewrite, lineage, content-sha.
+
+    At 100 TB: the target is read ONLY for the buckets the source keys
+    hash into (one O(num_buckets) collect), the match join is an equi
+    join on the key columns (sort-merge/shuffled-hash — source and the
+    pruned target shuffle once each), and the resulting change batch
+    flows through the same bucket-aligned write as any ingest epoch.
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+    key_cols = table.key_cols
+    missing = [k for k in key_cols if k not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing key column(s) {missing}")
+    schema = table.schema()
+    order_col = table.order_col
+
+    cond_nn = None
+    for k in key_cols:
+        e = F.col(k).isNotNull()
+        cond_nn = e if cond_nn is None else cond_nn & e
+    src = source.filter(cond_nn)
+    if src.groupBy(*key_cols).count().filter("count > 1").limit(1).count() > 0:
+        raise ValueError(
+            "duplicate keys in MERGE source: the statement requires at most "
+            "one source row per target row (pre-aggregate the source, e.g. "
+            "LWW it on its own ordering, before merging)"
+        )
+
+    # bucket-prune the target read to the buckets the source keys hash
+    # into (same shape as delete_where's find scan; O(num_buckets) rows)
+    nb = table.num_buckets
+    hit = (
+        src.select(bucket_expr(key_cols, nb).alias(BUCKET_COL))
+        .groupBy(BUCKET_COL)
+        .count()
+        .collect()
+    )
+    buckets = sorted(r[BUCKET_COL] for r in hit)
+    tgt = table.read(spark, buckets=buckets).select(
+        *[F.col(k).alias(f"_t_{k}") for k in key_cols],
+        *[
+            F.col(f.name).alias(f"t_{f.name}")
+            for f in schema.fields
+            if f.name not in key_cols and f.name != TOMBSTONE_COL
+        ],
+    )
+    jcond = None
+    for k in key_cols:
+        e = F.col(k) == F.col(f"_t_{k}")
+        jcond = e if jcond is None else jcond & e
+    joined = src.join(tgt, jcond, "left")
+    matched = F.col(f"_t_{key_cols[0]}").isNotNull()
+    mcond = (
+        F.lit(True)
+        if matched_condition is None
+        else F.coalesce(
+            (F.expr(matched_condition) if isinstance(matched_condition, str) else matched_condition).cast("boolean"),
+            F.lit(False),
+        )
+    )
+
+    src_cols = [c for c in source.columns if c in schema.fieldNames()]
+    out_sel = [F.col(c) for c in src_cols]
+    branches = []
+    if when_matched in ("update", "delete"):
+        op = "update" if when_matched == "update" else "delete"
+        branches.append(joined.filter(matched & mcond).select(*out_sel, F.lit(op).alias("op")))
+    if when_not_matched == "insert":
+        branches.append(joined.filter(~matched).select(*out_sel, F.lit("insert").alias("op")))
+    if not branches:
+        raise ValueError("both clauses are 'ignore' — the merge would be a no-op")
+    batch = branches[0]
+    for b in branches[1:]:
+        batch = batch.unionByName(b)
+    batch = batch.withColumn(order_col, F.lit(new_order).cast(schema[order_col].dataType))
+    if SHA_COL in schema.fieldNames() and SHA_COL in batch.columns:
+        batch = batch.drop(SHA_COL)  # derived, never accepted from the source
+    return merge_batch(
+        spark, table, batch, job_id=job_id, epoch_id=epoch_id, **merge_kwargs
+    )
+
+
 def update_where(
     spark: SparkSession,
     table: SnapshotTable,

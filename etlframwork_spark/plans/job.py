@@ -29,6 +29,11 @@ Supported step types:
                     job is a fenced no-op). A missing dst table is
                     created mirroring the source's key/order/schema,
                     then bootstrapped
+    merge_into      {"input", "table_root", "new_order",
+                    "when_matched"?, "matched_condition"?,
+                    "when_not_matched"?, "epoch"?} -> conditional
+                    MERGE INTO the snapshot table from a named view
+                    (merge.merge_into; epoch makes it exactly-once)
     maintenance     {"table_root", "compact_min_deltas"?,
                     "purge_watermark_lsn"?, "expire_keep_last"?,
                     "vacuum"?} -> run the named maintenance ops in the
@@ -217,6 +222,30 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict[str, Any]:
                 write_mode=wm,
             )
             results[name] = {"type": kind, **out}
+        elif kind == "merge_into":
+            from ..merge import merge_into
+
+            for req in ("input", "table_root"):
+                if not isinstance(step.get(req), str) or not step[req]:
+                    raise _step_fail(name, req, "must be a non-empty string")
+            if not isinstance(step.get("new_order"), int):
+                raise _step_fail(
+                    name, "new_order",
+                    "required integer above the source's delivered watermark",
+                )
+            out = merge_into(
+                spark,
+                SnapshotTable.load(step["table_root"]),
+                spark.table(step["input"]),
+                new_order=step["new_order"],
+                when_matched=step.get("when_matched", "update"),
+                matched_condition=step.get("matched_condition"),
+                when_not_matched=step.get("when_not_matched", "insert"),
+                job_id=step.get("merge_id", f"{spec.job_id}:{name}"),
+                epoch_id=step.get("epoch"),
+            )
+            results[name] = {"type": kind, **{k: out.get(k) for k in
+                ("events", "deletes", "affected_buckets", "snapshot_id", "skipped")}}
         elif kind == "maintenance":
             from ..maintenance import compact_buckets, purge_tombstones
 

@@ -252,3 +252,49 @@ def test_job_sync_and_maintenance_step_validation(spark, tmp_path):
         run_job(spark, JobSpec(job_id="j", steps=[
             {"type": "maintenance", "name": "m"}
         ]))
+
+
+def test_job_merge_into_step(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etlframwork_spark.merge import merge_batch
+    from etlframwork_spark.table import SnapshotTable
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    ev = StructType(schema.fields + [StructField("op", StringType())])
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), schema, key_cols=["k"], order_col="lsn", num_buckets=4
+    )
+    merge_batch(
+        spark, t,
+        spark.createDataFrame([(f"k{i}", i, i, "insert") for i in range(5)], ev),
+        job_id="seed", epoch_id=0,
+    )
+    spark.createDataFrame([("k2", 222), ("k9", 9)], ["k", "v"]).createOrReplaceTempView("corr")
+    steps = [{
+        "type": "merge_into", "name": "fix", "input": "corr",
+        "table_root": str(tmp_path / "t"), "new_order": 1000, "epoch": 1,
+    }]
+    r = run_job(spark, JobSpec(job_id="dml", steps=steps))
+    assert r["fix"]["events"] == 2 and not r["fix"].get("skipped")
+    t.refresh()
+    got = {row["k"]: row["v"] for row in t.read(spark).collect()}
+    assert got["k2"] == 222 and got["k9"] == 9 and len(got) == 6
+    # re-run: fenced no-op
+    r2 = run_job(spark, JobSpec(job_id="dml", steps=steps))
+    assert r2["fix"]["skipped"]
+    # validation
+    import pytest as _pytest
+
+    from etlframwork_spark.plans.job import JobConfigError
+    with _pytest.raises(JobConfigError, match="new_order"):
+        run_job(spark, JobSpec(job_id="dml", steps=[{
+            "type": "merge_into", "name": "bad", "input": "corr",
+            "table_root": str(tmp_path / "t"),
+        }]))
