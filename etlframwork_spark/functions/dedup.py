@@ -47,6 +47,8 @@ def docs_exact_dedup(spark, sf_dir):
     """Exact dedup: hash-groupBy on sha256(text), keep the smallest id.
     The canonical first pass of any corpus dedup (map-side combine, one
     shuffle on the digest)."""
+    # no spread: sha2+groupBy is cheap enough that the extra round-robin
+    # exchange measured as a net loss (round-7 A/B: 0.27s -> 0.86s)
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha")).agg(
         F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
@@ -127,7 +129,7 @@ def docs_ngram_jaccard(spark, sf_dir):
     any corpus size. The DuckDB oracle applies the identical derivation.
     Explode + window cap + equi-join + count; int/int jaccard is
     IEEE-stable."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         "source",
         F.array_distinct(F.expr(r"split(trim(lower(text)), '\\s+')")).alias("words"),
@@ -297,6 +299,29 @@ def verify_pairs_exact(candidates: DataFrame, shingled: DataFrame, id_col: str =
     return j.withColumn("jaccard", jac)
 
 
+def _verified_dup_pairs(spark, sf_dir):
+    """Shared verify leg of the dedup pipeline/keepers queries: MinHash ->
+    banded LSH candidates -> exact shingle-set Jaccard on the candidates.
+
+    Round-7 shape (guide §2.4/§8 — decide with small rows): the candidate
+    PAIR LIST (ids only, orders smaller than the corpus by the same
+    argument as SMALL_GRAPH_MAX_EDGES) is materialized once with
+    localCheckpoint, then shingle sets are computed ONLY for documents
+    that actually appear in a candidate pair (broadcast semi-style inner
+    join on the involved ids BEFORE the shingle transform). The former
+    plan evaluated the full-corpus shingle subtree twice — once per side
+    of the verify join; identical output, ~10x less shingle work on a
+    typical (mostly-unique) corpus."""
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    sigs = minhash_signature(d)
+    cands = (
+        lsh_candidate_pairs(sigs).select("id_a", "id_b").localCheckpoint(eager=True)
+    )
+    involved = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    shingled = shingle_sets(d.join(F.broadcast(involved), "doc_id"))
+    return verify_pairs_exact(cands, shingled).filter(F.col("jaccard") >= 0.7)
+
+
 @query(
     "docs_dedup_pipeline",
     oracle=r"""
@@ -334,17 +359,10 @@ def docs_dedup_pipeline(spark, sf_dir):
     permutation constants are fixed).
 
     Scale shape: signatures map-only; band join shuffles once on band
-    keys with capped buckets; verify joins shingle sets for CANDIDATE
-    rows only. No stage is quadratic in the corpus."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature(d)
-    cands = lsh_candidate_pairs(sigs).select("id_a", "id_b")
-    shingled = shingle_sets(d)
-    return (
-        verify_pairs_exact(cands, shingled)
-        .filter(F.col("jaccard") >= 0.7)
-        .orderBy("id_a", "id_b")
-    )
+    keys with capped buckets; verify computes shingle sets for INVOLVED
+    candidate docs only (see _verified_dup_pairs). No stage is quadratic
+    in the corpus."""
+    return _verified_dup_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def docs_minhash_lsh(spark, sf_dir):
@@ -355,7 +373,7 @@ def docs_minhash_lsh(spark, sf_dir):
     NOT driver-registered: subsumed by docs_dedup_pipeline (same candidate
     generation plus the exact-verify leg and a brute-force DuckDB twin) —
     the registry is capped at 50 so every entry gets a CORRECTNESS row."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     sigs = minhash_signature(d)
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 
@@ -425,6 +443,11 @@ def connected_min_labels(
     not a row materialization) and stops at fixpoint; if the fixpoint is
     NOT reached within ``max_iters`` this RAISES instead of returning
     silently-wrong labels."""
+    # materialize the (small) verified pair list ONCE before mirroring it
+    # into the edge list: the two union branches would otherwise each
+    # re-evaluate the whole upstream candidate+verify pipeline (round 7,
+    # guide §2.4 — cut the duplicated subtree, not just its exchanges)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
@@ -521,14 +544,7 @@ def docs_dedup_keepers(spark, sf_dir):
     cluster. The DuckDB oracle recomputes the same representatives by
     brute-force pairs + a recursive transitive closure, so candidate
     recall, verification AND the component labeling are all checked."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature(d)
-    cands = lsh_candidate_pairs(sigs).select("id_a", "id_b")
-    pairs = (
-        verify_pairs_exact(cands, shingle_sets(d))
-        .filter(F.col("jaccard") >= 0.7)
-        .select("id_a", "id_b")
-    )
+    pairs = _verified_dup_pairs(spark, sf_dir).select("id_a", "id_b")
     labels = connected_min_labels(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -585,7 +601,7 @@ def docs_simhash(spark, sf_dir):
 
     NOT driver-registered: subsumed by docs_simhash_pairs (same codes,
     strictly stronger Hamming-<=3 banding) — registry capped at 50."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     coded = simhash(d)
     sizes = coded.groupBy("simhash").agg(F.count(F.lit(1)).alias("bucket_size"))
     return coded.join(sizes, "simhash").select("doc_id", "simhash", "bucket_size").orderBy("doc_id")
@@ -648,5 +664,5 @@ def docs_simhash_pairs(spark, sf_dir):
     driver's 50-query window went to the oracle-paired
     cdc_update_where_state; correctness stays pinned by the three simhash
     pytests (banding recall, shingle variant, exact+near)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return simhash_pairs(simhash(d)).orderBy("id_a", "id_b")

@@ -36,23 +36,89 @@ def _quantized(df: DataFrame) -> DataFrame:
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (brute force).
 
-    ``corpus``/``queries`` need columns (vec_id, q, norm2); the query side
-    is broadcast. Ordering ties break on neighbor id (unique)."""
-    qs = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("norm2").alias("qnorm2")
-        )
+    ``corpus``/``queries`` need columns (vec_id, q, norm2). Round-7
+    shape: the query side is collected to the driver (the SAME
+    O(#queries) driver footprint the former ``F.broadcast`` already
+    implied) and closure-shipped into a ``mapInArrow`` stage that scores
+    each corpus Arrow batch against every query with ONE numpy matmul
+    (optimization guide §4.2 — batch-native kernels beat per-pair
+    expression evaluation; the former ``aggregate(zip_with(...))``
+    per-pair plan is interpreted, not codegen, and measured ~10x slower).
+
+    Bit-exactness argument (the driver hash-compares vs DuckDB): the
+    quantized dot product is integer-valued with |dot| << 2^53, so every
+    float64 partial sum inside the matmul is exact regardless of
+    accumulation order; sqrt and the divide are single IEEE ops applied
+    in the same order as the SQL expression — the cosine doubles are
+    bit-identical to the former plan.
+
+    Each batch emits only rows that can still reach the global top-k
+    (>= the batch's k-th best per query, ties kept; NaN ordered largest
+    to match Spark double ordering); the exact (cosine DESC, neighbor
+    ASC) rank semantics are applied by the final window over those few
+    candidates. Ordering ties break on neighbor id (unique)."""
+    import numpy as np
+
+    q_rows = queries.select("vec_id", "q", "norm2").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = (
+        np.array([r["q"] for r in q_rows], dtype=np.float64).reshape(len(q_rows), -1)
+        if q_rows
+        else np.zeros((0, 1))
     )
-    dot = F.expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-    sim = dot.cast("double") / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double")))
-    pairs = (
-        corpus.crossJoin(qs)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine"))
+    qnorm = np.sqrt(np.array([r["norm2"] for r in q_rows], dtype=np.float64))
+    kk = int(k)
+
+    def score_batches(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("cosine", pa.float64())]
+        )
+        if qids.size == 0:
+            return
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            C = (
+                b.column("q")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            cnorm = np.sqrt(b.column("norm2").to_numpy(zero_copy_only=False).astype(np.float64))
+            sims = (C @ Q.T) / (cnorm[:, None] * qnorm[None, :])
+            self_mask = vec_ids[:, None] == qids[None, :]
+            # candidate superset per query: everything >= the k-th best in
+            # this batch (NaN ranked largest, exactly like Spark's double
+            # ordering); self-pairs excluded via -inf
+            kv = np.where(np.isnan(sims), np.inf, sims)
+            kv = np.where(self_mask, -np.inf, kv)
+            if n > kk:
+                thresh = np.partition(kv, n - kk, axis=0)[n - kk, :]
+            else:
+                thresh = np.full(qids.size, -np.inf)
+            keep = (kv >= thresh[None, :]) & ~self_mask
+            rows, cols = np.nonzero(keep)
+            if rows.size:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids[cols]),
+                        pa.array(vec_ids[rows]),
+                        pa.array(sims[rows, cols]),
+                    ],
+                    schema=out_schema,
+                )
+
+    cand = corpus.select("vec_id", "q", "norm2").mapInArrow(
+        score_batches, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -85,8 +151,10 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
 )
 def emb_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for every 100th vector as query — the ANN
-    correctness baseline, integer-quantized for cross-engine exactness."""
-    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    correctness baseline, integer-quantized for cross-engine exactness.
+    spread=True fans the corpus scoring stage over all cores (the few-MB
+    parquet otherwise plans 2 scan tasks — guide §2.6/§6)."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings", spread=True))
     qs = emb.filter(F.col("vec_id") % 100 == 0)
     return cosine_topk(emb, qs, k=5)
 
@@ -140,30 +208,77 @@ def hyperplane_codes(df: DataFrame, dim: int) -> DataFrame:
     return df.withColumn("codes", F.array(*codes))
 
 
+def _grouped_bucket_pairs(e: DataFrame, max_bucket: int, mask_fn) -> DataFrame:
+    """All within-bucket pairs (id_a < id_b) with exact quantized cosine,
+    evaluated bucket-at-a-time with numpy (round 7, guide §4.2).
+
+    ``e`` needs (vec_id, q, norm2, code). One shuffle groups each code
+    bucket into a task; the per-bucket score matrix is ONE numpy matmul
+    instead of |bucket|^2/2 interpreted ``aggregate(zip_with(...))``
+    evaluations, and only pairs surviving ``mask_fn`` cross back to the
+    JVM (the former plan shipped EVERY candidate pair through the
+    dedup shuffle before filtering). Exactness: quantized dots are
+    integer-valued float64 << 2^53 — matmul accumulation is exact in any
+    order; sqrt/divide are the same single IEEE ops as the SQL
+    expression, so cosines (and any integer threshold arithmetic in
+    ``mask_fn``) are bit-identical to the former per-pair plan.
+
+    The hot-bucket cap is applied in-function (a bucket with more than
+    ``max_bucket`` members yields nothing) — identical bucket-granular
+    semantics to the former window-count ``drop_hot_buckets`` pass, one
+    shuffle cheaper. ``mask_fn(dot_f64, na, nb, cosine) -> bool mask``
+    selects the pairs to emit."""
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        }
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or n > max_bucket:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        C = np.array([np.asarray(v, dtype=np.float64) for v in pdf["q"].iloc[order]])
+        n2 = pdf["norm2"].to_numpy()[order]
+        iu, ju = np.triu_indices(n, 1)
+        d = (C @ C.T)[iu, ju]
+        na, nb = n2[iu], n2[ju]
+        cos = d / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
+        m = mask_fn(d, na, nb, cos)
+        return pd.DataFrame({"id_a": ids[iu][m], "id_b": ids[ju][m], "cosine": cos[m]})
+
+    return e.groupBy("code").applyInPandas(
+        bucket_pairs, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def ann_candidate_pairs(
-    emb: DataFrame, dim: int = EMBEDDING_DIM, max_bucket: int = MAX_CODE_BUCKET
+    emb: DataFrame,
+    dim: int = EMBEDDING_DIM,
+    max_bucket: int = MAX_CODE_BUCKET,
+    min_cosine: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with exact quantized cosine attached.
 
-    Candidate generation is an equi-join on exploded sign codes (one
-    shuffle, never all-pairs); buckets above ``max_bucket`` members are
-    excluded so a degenerate corpus cannot create a quadratic join group
-    (shared policy: functions.dedup.drop_hot_buckets)."""
-    from .dedup import drop_hot_buckets
-
+    Candidate generation groups exploded sign codes (one shuffle, never
+    all-pairs); buckets above ``max_bucket`` members are excluded so a
+    degenerate corpus cannot create a quadratic join group. Scoring is
+    the grouped numpy matmul (see _grouped_bucket_pairs). ``min_cosine``
+    (optional) drops below-threshold pairs before they cross back to the
+    JVM — pure pushdown of the caller's own filter, identical result."""
     coded = _quantized(hyperplane_codes(emb, dim))
     e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
-    e = drop_hot_buckets(e, "code", max_bucket)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
-    dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-    sim = dot.cast("double") / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-    return (
-        a.join(b, ["code"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if min_cosine is None:
+        mask = lambda d, na, nb, cos: np.ones(len(d), dtype=bool)  # noqa: E731
+    else:
+        mask = lambda d, na, nb, cos: cos >= min_cosine  # noqa: E731
+    return _grouped_bucket_pairs(e, max_bucket, mask).dropDuplicates(["id_a", "id_b"])
 
 
 # ----------------------------------------------------------------- IVF (flat)
@@ -350,9 +465,9 @@ def emb_ann_lsh(spark, sf_dir):
     driver's 50-query window went to the oracle-paired
     cdc_sync_incremental_state; correctness stays pinned by
     test_hyperplane_lsh_recall_on_clusters."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return (
-        ann_candidate_pairs(emb)
+        ann_candidate_pairs(emb, min_cosine=0.4)
         .filter(F.col("cosine") >= 0.4)
         .orderBy("id_a", "id_b")
     )
@@ -423,25 +538,26 @@ def neardup_lsh_pairs(
     max_bucket: int = MAX_CODE_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs at scale: multi-table hyperplane LSH candidates
-    (one equi-join shuffle on sign codes, hot buckets capped — never
-    all-pairs) -> exact integer threshold verify. Output is a SUBSET of
+    (one shuffle on sign codes, hot buckets capped — never all-pairs) ->
+    exact integer threshold verify INSIDE the bucket kernel (round 7:
+    grouped numpy matmul, see _grouped_bucket_pairs — the threshold
+    arithmetic runs in int64 exactly like the former _neardup_cond SQL,
+    so the pair set is bit-identical). Output is a SUBSET of
     neardup_exact_pairs (precision 1.0); recall is the multi-table hit
     probability (high for true near-dups, cos >= ~0.9)."""
-    from .dedup import drop_hot_buckets
-
+    if not (0 < num <= den):
+        raise ValueError(f"threshold num/den must be in (0, 1]: {num}/{den}")
     coded = _quantized(hyperplane_codes(emb, dim))
     e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
-    e = drop_hot_buckets(e, "code", max_bucket)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na"), "code")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb"), "code")
-    return (
-        a.join(b, ["code"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", _pair_dot())
-        .filter(_neardup_cond(num, den))
-        .select("id_a", "id_b", _cosine_col())
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    den2, num2 = den * den, num * num
+
+    def mask(d, na, nb, cos):
+        # exact int64 arithmetic — same domain bound as _neardup_cond
+        # (|component| <= ~2.1 at dim 64 with the 1e3 quantizer)
+        di = d.astype(np.int64)
+        return (di > 0) & (den2 * di * di >= num2 * na.astype(np.int64) * nb.astype(np.int64))
+
+    return _grouped_bucket_pairs(e, max_bucket, mask).dropDuplicates(["id_a", "id_b"])
 
 
 def neardup_keepers(emb: DataFrame, pairs: DataFrame) -> DataFrame:

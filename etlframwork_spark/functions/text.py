@@ -54,7 +54,7 @@ def _duck_hits(lang: str) -> str:
 )
 def docs_token_stats(spark, sf_dir):
     """Whitespace token counting + per-language corpus stats."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     t = d.select(
         "lang",
         F.expr(f"size({_tokens_expr()})").alias("n_tokens"),
@@ -101,7 +101,7 @@ def docs_quality_fingerprint(spark, sf_dir):
     are int/int divisions — IEEE-identical across engines. (Round-3 fold
     of the former docs_quality_score + docs_fingerprint queries: same
     granularity, same table, one registry slot — registry capped at 50.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     t = d.select(
         "doc_id",
@@ -156,7 +156,7 @@ _LANGID_DUCK = r"""
 def docs_language_id(spark, sf_dir):
     """Marker-word language heuristic with a deterministic preference
     order (en > de > fr > es > unknown) for ties."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     t = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -185,6 +185,6 @@ def docs_fingerprint(spark, sf_dir):
     """Canonical-form document fingerprint: lowercase, collapse whitespace,
     md5 — the exact-dedup key at corpus scale. NOT driver-registered:
     folded into docs_quality_fingerprint (registry capped at 50)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return d.select("doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len"))

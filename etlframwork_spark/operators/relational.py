@@ -315,8 +315,10 @@ def distinct_counts(spark, sf_dir):
 )
 def rollup_order_metrics(spark, sf_dir):
     """Rollup in one pass: (status, priority), (status), () — the metrics
-    rollup shape from SURVEY §2.4 A4."""
-    o = load_table(spark, sf_dir, "orders")
+    rollup shape from SURVEY §2.4 A4. spread=True: the 3x Expand + partial
+    aggregate run map-side and the 25 MB orders parquet otherwise plans
+    7 scan tasks (guide §2.6)."""
+    o = load_table(spark, sf_dir, "orders", spread=True)
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -518,8 +520,10 @@ def date_trunc_monthly_revenue(spark, sf_dir):
     """,
 )
 def json_extract_events(spark, sf_dir):
-    """JSON field extraction from the events.props payload (F5)."""
-    ev = load_table(spark, sf_dir, "events")
+    """JSON field extraction from the events.props payload (F5).
+    spread=True: the JSON parse is the cost and the 16 MB events parquet
+    otherwise plans 4 scan tasks (guide §2.6/§6)."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")

@@ -8,6 +8,7 @@ column pruning, and catches upstream drift loudly.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,6 +99,48 @@ TABLE_SCHEMAS: dict[str, StructType] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Explicit-schema parquet scan of one driver testdata table."""
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# Scan-spread floor for compute-dense map stages (round 7): Spark packs
+# small files into splits of at least spark.sql.files.openCostInBytes
+# (4 MB), so a few-MB corpus plans ceil(bytes/4MB) scan tasks — a 6 MB
+# documents/embeddings table runs its per-row minhash/dot-product work on
+# 2 of 32 cores. Callers whose per-row compute dwarfs the scan pass
+# ``spread=True``: if the planned split count is below the cluster
+# parallelism, one round-robin repartition of the (tiny) input fans the
+# compute out. Scale-adaptive by construction — at real corpus sizes
+# ceil(bytes/4MB) >= cores and the repartition is a no-op branch.
+_SPREAD_MIN_BYTES = 1 << 20
+_SPLIT_FLOOR_BYTES = 4 << 20  # mirrors spark.sql.files.openCostInBytes
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
+    """Explicit-schema parquet scan of one driver testdata table.
+
+    ``spread=True``: fan a small scan out to the full parallelism for
+    compute-dense downstream map work (see note above). Results are
+    partitioning-independent everywhere this is used; the driver's
+    sf0.01 correctness inputs sit below the 1 MB floor, so oracle plans
+    are untouched."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    if spread:
+        try:
+            size = _input_bytes(path)
+        except OSError:
+            return df
+        par = spark.sparkContext.defaultParallelism
+        if size >= _SPREAD_MIN_BYTES and math.ceil(size / _SPLIT_FLOOR_BYTES) < par:
+            df = df.repartition(par)
+    return df

@@ -63,9 +63,15 @@ def test_topk_plans_take_ordered_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
-def test_broadcast_in_cosine_topk(spark, sf_dir):
+def test_cosine_topk_batched_scoring_no_pair_blowup(spark, sf_dir):
+    """Round 7: brute-force top-k scores whole Arrow batches against the
+    (driver-resident) query matrix — ONE MapInArrow stage, no per-pair
+    join materialization. The partial top-k means the window exchange
+    carries only per-batch candidates, never the full pair matrix."""
     p = _plan(QUERIES["emb_cosine_topk"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "MapInArrow" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_range_join_never_plans_nested_loop(spark, sf_dir):
