@@ -227,14 +227,26 @@ def drop_hot_buckets(df: DataFrame, key_cols: str | list[str], max_bucket) -> Da
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_BAND_BUCKET
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_BAND_BUCKET,
+    with_est: bool = True,
 ) -> DataFrame:
     """Band the signatures (BAND_ROWS rows/band) and emit candidate pairs
-    that collide in >=1 band, with their estimated jaccard (fraction of
-    equal signature slots). One shuffle on band keys (the hot-bucket cap
-    is a window count on the SAME partitioning — no extra aggregate pass);
-    no quadratic scan. Buckets over ``max_bucket`` members are excluded
-    (bounded worst case)."""
+    that collide in >=1 band — with their estimated jaccard (fraction of
+    equal signature slots) when ``with_est``. One shuffle on band keys
+    (the hot-bucket cap is a window count on the SAME partitioning — no
+    extra aggregate pass); no quadratic scan. Buckets over ``max_bucket``
+    members are excluded (bounded worst case).
+
+    ``with_est=False`` (round 7): callers that only consume the id pairs
+    (the exact-verify pipeline) get a plan that never carries the
+    16-slot signature arrays through the band window or the pair-dedup
+    exchange — measured ~70 MB of shuffle per 50k-doc corpus that pure
+    column pruning did not remove. With ``with_est`` the estimate is now
+    computed BEFORE the dedup exchange (duplicate collisions carry an
+    identical estimate, so the surviving row is unchanged) — the dedup
+    then shuffles one double instead of two signature arrays."""
     nbands = NUM_PERM // BAND_ROWS
     bands = F.array(
         *[
@@ -242,24 +254,35 @@ def lsh_candidate_pairs(
             for b in range(nbands)
         ]
     )
-    e = sigs.select(F.col(id_col), "sig", F.explode(bands).alias("band_key"))
+    cols = [F.col(id_col), "sig"] if with_est else [F.col(id_col)]
+    e = sigs.select(*cols, F.explode(bands).alias("band_key"))
     e = drop_hot_buckets(e, "band_key", max_bucket)
     a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+    joined = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if not with_est:
+        return (
+            joined.select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .dropDuplicates(["id_a", "id_b"])
+    with_sigs = joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
     )
     est = (
         F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
         / NUM_PERM
     )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (
+        with_sigs.select("id_a", "id_b", est.alias("est_jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
@@ -314,9 +337,7 @@ def _verified_dup_pairs(spark, sf_dir):
     typical (mostly-unique) corpus."""
     d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     sigs = minhash_signature(d)
-    cands = (
-        lsh_candidate_pairs(sigs).select("id_a", "id_b").localCheckpoint(eager=True)
-    )
+    cands = lsh_candidate_pairs(sigs, with_est=False).localCheckpoint(eager=True)
     involved = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     shingled = shingle_sets(d.join(F.broadcast(involved), "doc_id"))
     return verify_pairs_exact(cands, shingled).filter(F.col("jaccard") >= 0.7)

@@ -227,35 +227,105 @@ def _grouped_bucket_pairs(e: DataFrame, max_bucket: int, mask_fn) -> DataFrame:
     ``max_bucket`` members yields nothing) — identical bucket-granular
     semantics to the former window-count ``drop_hot_buckets`` pass, one
     shuffle cheaper. ``mask_fn(dot_f64, na, nb, cosine) -> bool mask``
-    selects the pairs to emit."""
-    import pandas as pd
+    selects the pairs to emit. applyInArrow (not pandas) so the vector
+    column converts via one columnar flatten+reshape, never a per-row
+    object array."""
+    import pyarrow as pa
 
-    empty = pd.DataFrame(
-        {
-            "id_a": np.array([], dtype=np.int64),
-            "id_b": np.array([], dtype=np.int64),
-            "cosine": np.array([], dtype=np.float64),
-        }
+    schema_pa = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+    empty = pa.Table.from_arrays(
+        [
+            pa.array([], pa.int64()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.float64()),
+        ],
+        schema=schema_pa,
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
+    def bucket_pairs(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
         if n < 2 or n > max_bucket:
             return empty
-        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-        ids = pdf["vec_id"].to_numpy()[order]
-        C = np.array([np.asarray(v, dtype=np.float64) for v in pdf["q"].iloc[order]])
-        n2 = pdf["norm2"].to_numpy()[order]
+        tbl = tbl.combine_chunks()
+        ids = tbl.column("vec_id").chunk(0).to_numpy(zero_copy_only=False)
+        C = (
+            tbl.column("q")
+            .chunk(0)
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        n2 = tbl.column("norm2").chunk(0).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, C, n2 = ids[order], C[order], n2[order]
         iu, ju = np.triu_indices(n, 1)
         d = (C @ C.T)[iu, ju]
         na, nb = n2[iu], n2[ju]
         cos = d / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
         m = mask_fn(d, na, nb, cos)
-        return pd.DataFrame({"id_a": ids[iu][m], "id_b": ids[ju][m], "cosine": cos[m]})
+        return pa.Table.from_arrays(
+            [pa.array(ids[iu][m]), pa.array(ids[ju][m]), pa.array(cos[m])],
+            schema=schema_pa,
+        )
 
-    return e.groupBy("code").applyInPandas(
+    return e.groupBy("code").applyInArrow(
         bucket_pairs, schema="id_a long, id_b long, cosine double"
     )
+
+
+def _coded_exploded(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, q, norm2, code) with one exploded row per LSH table —
+    the shared input of the bucketed pair generators.
+
+    Round 7: the sign codes are computed in a mapInArrow stage — one
+    vectorized numpy pass per batch — instead of 24 interpreted
+    ``aggregate(zip_with(...))`` folds per row (hyperplane_codes, kept as
+    the reference implementation). Bit-exact by construction: products
+    ``CAST(x AS DOUBLE) * plane`` are the same IEEE multiplies, and
+    ``cumsum`` accumulates strictly sequentially — the identical order
+    the SQL fold uses — so every sign (and thus every code) matches the
+    reference (pinned by test_numpy_codes_match_reference)."""
+    planes = _planes(dim)
+
+    def add_codes(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = (
+                b.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            codes = np.zeros((n, _N_TABLES), dtype=np.int64)
+            for t in range(_N_TABLES):
+                code = np.zeros(n, dtype=np.int64)
+                for i in range(_BITS_PER_TABLE):
+                    s = (X * planes[t, i][None, :]).cumsum(axis=1)[:, -1]
+                    code += np.where(s > 0, np.int64(1 << i), np.int64(0))
+                codes[:, t] = code + np.int64(t << _BITS_PER_TABLE)
+            offsets = pa.array(np.arange(0, _N_TABLES * (n + 1), _N_TABLES, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("vec_id"),
+                    b.column("q"),
+                    b.column("norm2"),
+                    pa.ListArray.from_arrays(offsets, pa.array(codes.ravel())),
+                ],
+                names=["vec_id", "q", "norm2", "codes"],
+            )
+
+    coded = _quantized(emb).select("vec_id", "embedding", "q", "norm2").mapInArrow(
+        add_codes, schema="vec_id long, q array<long>, norm2 long, codes array<long>"
+    )
+    return coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
 
 
 def ann_candidate_pairs(
@@ -272,8 +342,7 @@ def ann_candidate_pairs(
     the grouped numpy matmul (see _grouped_bucket_pairs). ``min_cosine``
     (optional) drops below-threshold pairs before they cross back to the
     JVM — pure pushdown of the caller's own filter, identical result."""
-    coded = _quantized(hyperplane_codes(emb, dim))
-    e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
+    e = _coded_exploded(emb, dim)
     if min_cosine is None:
         mask = lambda d, na, nb, cos: np.ones(len(d), dtype=bool)  # noqa: E731
     else:
@@ -547,8 +616,7 @@ def neardup_lsh_pairs(
     probability (high for true near-dups, cos >= ~0.9)."""
     if not (0 < num <= den):
         raise ValueError(f"threshold num/den must be in (0, 1]: {num}/{den}")
-    coded = _quantized(hyperplane_codes(emb, dim))
-    e = coded.select("vec_id", "q", "norm2", F.explode("codes").alias("code"))
+    e = _coded_exploded(emb, dim)
     den2, num2 = den * den, num * num
 
     def mask(d, na, nb, cos):

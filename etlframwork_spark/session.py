@@ -25,6 +25,16 @@ def build_session(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     so the driver's bench harness controls parallelism.
     """
+    # Cap native BLAS/OpenMP pools at one thread per Python worker (round
+    # 7, guide §4): Spark already supplies one worker per core, and
+    # numpy's default pool-per-process x N workers oversubscribes the
+    # host with ~cores^2 spinning threads (measured: the mapInArrow
+    # cosine stage ran 3x slower purely from OpenBLAS spin-wait). Set
+    # BEFORE the JVM starts so the worker daemon inherits it; setdefault
+    # keeps any explicit operator override. Scale-independent: the same
+    # one-BLAS-thread-per-task posture is correct on any executor size.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"

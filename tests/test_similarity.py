@@ -303,3 +303,34 @@ def test_neardup_threshold_validation():
     for num, den in ((0, 5), (6, 5), (-1, 5)):
         with _pytest.raises(ValueError):
             _neardup_cond(num, den)
+
+
+def test_numpy_codes_match_reference(spark, sf_dir):
+    """Round 7: the ann/near-dup pipelines compute hyperplane sign codes
+    in a vectorized numpy mapInArrow stage (_coded_exploded); the JVM
+    fold (hyperplane_codes) stays as the reference implementation. The
+    cumsum accumulation is sequentially ordered exactly like the SQL
+    aggregate fold, so every code must match bit-for-bit — on the real
+    embeddings AND on clustered synthetics at a different dim."""
+    from etlframwork_spark.functions.similarity import _coded_exploded
+    from etlframwork_spark.sources.io import load_table
+
+    def codes_of(df, dim):
+        ref = {}
+        for r in hyperplane_codes(df, dim).select("vec_id", "codes").collect():
+            ref[r["vec_id"]] = tuple(r["codes"])
+        got = {}
+        for r in (
+            _coded_exploded(df, dim).select("vec_id", "code").collect()
+        ):
+            got.setdefault(r["vec_id"], []).append(r["code"])
+        return ref, {k: tuple(sorted(v)) for k, v in got.items()}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref, got = codes_of(emb, 64)
+    assert {k: tuple(sorted(v)) for k, v in ref.items()} == got
+
+    rows = _clustered(n_clusters=8, per_cluster=6, dim=32, seed=9)
+    df = spark.createDataFrame(rows, SCHEMA)
+    ref, got = codes_of(df, 32)
+    assert {k: tuple(sorted(v)) for k, v in ref.items()} == got
