@@ -317,8 +317,9 @@ def rollup_order_metrics(spark, sf_dir):
     """Rollup in one pass: (status, priority), (status), () — the metrics
     rollup shape from SURVEY §2.4 A4. spread=True: the 3x Expand + partial
     aggregate run map-side and the 25 MB orders parquet otherwise plans
-    7 scan tasks (guide §2.6)."""
-    o = load_table(spark, sf_dir, "orders", spread=True)
+    7 scan tasks (guide §2.6); the 8 MB floor keeps the extra exchange
+    off small-sf inputs where it measured as a net loss."""
+    o = load_table(spark, sf_dir, "orders", spread=True, spread_min_bytes=8 << 20)
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -522,8 +523,9 @@ def date_trunc_monthly_revenue(spark, sf_dir):
 def json_extract_events(spark, sf_dir):
     """JSON field extraction from the events.props payload (F5).
     spread=True: the JSON parse is the cost and the 16 MB events parquet
-    otherwise plans 4 scan tasks (guide §2.6/§6)."""
-    ev = load_table(spark, sf_dir, "events", spread=True)
+    otherwise plans 4 scan tasks (guide §2.6/§6); same 8 MB floor
+    rationale as rollup_order_metrics."""
+    ev = load_table(spark, sf_dir, "events", spread=True, spread_min_bytes=8 << 20)
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")

@@ -124,7 +124,12 @@ def _input_bytes(path: str) -> int:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    spread: bool = False,
+    spread_min_bytes: int = _SPREAD_MIN_BYTES,
 ) -> DataFrame:
     """Explicit-schema parquet scan of one driver testdata table.
 
@@ -132,7 +137,10 @@ def load_table(
     compute-dense downstream map work (see note above). Results are
     partitioning-independent everywhere this is used; the driver's
     sf0.01 correctness inputs sit below the 1 MB floor, so oracle plans
-    are untouched."""
+    are untouched. ``spread_min_bytes`` raises the engage floor for
+    callers whose per-row work only dominates at larger inputs (the
+    rollup Expand measured a net LOSS from the extra exchange below
+    ~8 MB but a 25% win at 25 MB)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
     if spread:
@@ -141,6 +149,6 @@ def load_table(
         except OSError:
             return df
         par = spark.sparkContext.defaultParallelism
-        if size >= _SPREAD_MIN_BYTES and math.ceil(size / _SPLIT_FLOOR_BYTES) < par:
+        if size >= spread_min_bytes and math.ceil(size / _SPLIT_FLOOR_BYTES) < par:
             df = df.repartition(par)
     return df
