@@ -469,25 +469,29 @@ def connected_min_labels(
     # re-evaluate the whole upstream candidate+verify pipeline (round 7,
     # guide §2.4 — cut the duplicated subtree, not just its exchanges)
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
     # Small-graph fast path: the verified pair graph usually fits the
     # driver with room to spare (see SMALL_GRAPH_MAX_EDGES). One exact
-    # count gates a bounded collect + union-find — replacing O(log d)
-    # rounds of (join + checkpoint + count) with two Spark jobs. Result
-    # is identical (min-id representative per component) by construction.
-    n_edges = edges.count()
-    if n_edges <= small_graph_max_edges:
+    # count gates a bounded collect + union-find. Union-find only needs
+    # each undirected pair ONCE (round 7: the mirrored+deduplicated edge
+    # frame is built only for the distributed propagation loop, saving
+    # the union/distinct shuffle + a checkpoint job here); 2x the pair
+    # count upper-bounds the mirrored edge count, so the gate is at
+    # least as conservative as the former edge-count gate. Result is
+    # identical (min-id representative per component) by construction.
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= small_graph_max_edges:
         spark = pairs.sparkSession
-        labels = _union_find_min_labels([(r[0], r[1]) for r in edges.collect()])
-        node_t = edges.schema.fields[0].dataType
+        labels = _union_find_min_labels([(r[0], r[1]) for r in pairs.collect()])
+        node_t = pairs.schema.fields[0].dataType
         schema = StructType(
             [StructField("node", node_t, False), StructField("label", node_t, False)]
         )
         return spark.createDataFrame(
             [(n, l) for n, l in sorted(labels.items())], schema=schema
         )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
