@@ -257,7 +257,12 @@ def lsh_candidate_pairs(
     cols = [F.col(id_col), "sig"] if with_est else [F.col(id_col)]
     e = sigs.select(*cols, F.explode(bands).alias("band_key"))
     e = drop_hot_buckets(e, "band_key", max_bucket)
-    a, b = e.alias("a"), e.alias("b")
+    # shuffle-hash self-join: both sides are already hash-partitioned by
+    # band_key from the window's exchange, so SHJ builds per-partition
+    # hash tables with NO broadcast of the exploded frame (round-7 A/B:
+    # the default broadcast plan collected+shipped 400k rows and
+    # measured ~15% slower; guide §3.1)
+    a, b = e.alias("a"), e.alias("b").hint("shuffle_hash")
     joined = a.join(
         b,
         (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -668,7 +673,10 @@ def simhash_pairs(
     e = coded.select(F.col(id_col), "simhash", F.explode(segs).alias("seg_key"))
     e = drop_hot_buckets(e, "seg_key", max_bucket)
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("code_a"), "seg_key")
-    b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("code_b"), "seg_key")
+    # same shuffle-hash rationale as lsh_candidate_pairs (round 7)
+    b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("code_b"), "seg_key").hint(
+        "shuffle_hash"
+    )
     hamming = F.bit_count(F.expr("code_a ^ code_b"))
     return (
         a.join(b, ["seg_key"])
