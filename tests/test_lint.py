@@ -25,7 +25,10 @@ BANNED = [
 COLLECT_ALLOWED = {
     "merge.py",  # bucket-stat rows (<= num_buckets)
     "maintenance.py",  # purgeable-bucket rows (<= num_buckets)
-    "similarity.py",  # trained IVF centroids (K rows — the model, not data)
+    # trained IVF centroids (K rows — the model), and round 7's
+    # cosine_topk query matrix (O(#queries) — the exact driver footprint
+    # the former F.broadcast of the query side already implied)
+    "similarity.py",
     # verified dup-pair graph, gated by an EXACT count() <=
     # SMALL_GRAPH_MAX_EDGES before collecting; larger graphs take the
     # distributed CC loop (strategy equality pinned in tests/test_dedup.py)
