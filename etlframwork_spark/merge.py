@@ -810,7 +810,23 @@ def merge_into(
     )
 
     src_cols = [c for c in source.columns if c in schema.fieldNames()]
-    out_sel = [F.col(c) for c in src_cols]
+    # ANSI/Delta MERGE UPDATE-SET semantics (round-6 advice #1): payload
+    # columns the source does NOT carry keep the matched target row's
+    # value — previously merge_batch's _align null back-filled them, so a
+    # partial-column source silently wiped unassigned target columns.
+    # One select serves every branch: for a matched row ``t_<c>`` is the
+    # stored value; for a not-matched insert the outer join leaves
+    # ``t_<c>`` null, which is exactly the standard INSERT back-fill.
+    # Order/sha/tombstone stay excluded (stamped/derived/engine-owned).
+    payload_fields = [
+        f
+        for f in schema.fields
+        if f.name not in key_cols and f.name not in (order_col, TOMBSTONE_COL, SHA_COL)
+    ]
+    out_sel = [F.col(k) for k in key_cols] + [
+        (F.col(f.name) if f.name in src_cols else F.col(f"t_{f.name}").alias(f.name))
+        for f in payload_fields
+    ]
     branches = []
     if when_matched in ("update", "delete"):
         op = "update" if when_matched == "update" else "delete"

@@ -59,6 +59,12 @@ BUCKET_COL = "_bucket"
 _SHARD_CACHE: dict[tuple[str, str], dict] = {}
 _SHARD_CACHE_MAX = 4096
 
+# vacuum() skips UNREFERENCED manifest shards younger than this many
+# seconds (see vacuum's shard-GC note: the write->CAS window of a
+# concurrent commit must never be collectable, because a lost shard
+# bricks the table's metadata rather than losing one data file).
+VACUUM_SHARD_GRACE_SECS = 300.0
+
 
 def _read_shard(root: str, rel: str) -> dict:
     key = (root, rel)
@@ -100,7 +106,12 @@ def hydrate_meta(root: str, meta: dict) -> dict:
             if man is None:
                 man = _read_shard(root, rel)
                 cache[rel] = man
-                fstats.update(man.get("file_stats", {}))
+                # copy each per-file stats dict: the shard object lives in
+                # the process-wide _SHARD_CACHE, and aliasing its
+                # sub-dicts into this table's meta would let any future
+                # in-place stats mutation silently poison every other
+                # table handle (round-7, advice item #3)
+                fstats.update({k: dict(v) for k, v in man.get("file_stats", {}).items()})
                 fsch.update(man.get("file_schemas", {}))
             ent = man["buckets"][bs]
             if ent.get("files"):
@@ -1443,6 +1454,14 @@ class SnapshotTable:
         # concurrent writer's not-yet-published shards would look orphaned).
         # Shards are NOT counted in the return value — it reports DATA
         # files removed, and callers reconcile it against the data dir.
+        # Defense in depth (round-7, advice item #2): a shard younger than
+        # the grace window is skipped even if unreferenced — between a
+        # writer's _dehydrate shard write and its root CAS the new shard
+        # is momentarily unreferenced, and collecting it would brick the
+        # whole table (every later hydrate raises FileNotFoundError), a
+        # far worse blast radius than the one-lost-data-file race the
+        # contract above tolerates.
+        now = time.time()
         mandir = os.path.join(self.root, "metadata", "manifests")
         if os.path.isdir(mandir):
             live_man = {
@@ -1450,6 +1469,13 @@ class SnapshotTable:
             }
             for fn in os.listdir(mandir):
                 rel = os.path.join("manifests", fn)
-                if rel not in live_man:
-                    os.remove(os.path.join(mandir, fn))
+                path = os.path.join(mandir, fn)
+                if rel in live_man:
+                    continue
+                try:
+                    young = now - os.path.getmtime(path) < VACUUM_SHARD_GRACE_SECS
+                except OSError:
+                    continue  # already gone (concurrent vacuum)
+                if not young:
+                    os.remove(path)
         return removed

@@ -145,6 +145,23 @@ def test_vacuum_collects_orphan_shards(spark, tmp_path):
         _merge(spark, t, [(f"k{e}", e, e, "insert")], e)
     n_all = len(_shards(t))
     t.expire_snapshots(keep_last=2)
+    # round 7: shards younger than the grace window are NEVER collected,
+    # even when unreferenced — the write->CAS window of a concurrent
+    # commit must not be collectable (a lost shard bricks the table).
+    # Everything in this test was written seconds ago, so a first vacuum
+    # is a shard no-op...
+    t.vacuum()
+    assert len(_shards(t)) == n_all
+    # ...and once the shards are older than the grace window (backdated
+    # mtimes), the unreferenced ones are collected as before.
+    import time as _time
+
+    from etlframwork_spark.table import VACUUM_SHARD_GRACE_SECS
+
+    old = _time.time() - VACUUM_SHARD_GRACE_SECS - 1
+    mandir = os.path.join(t.root, "metadata", "manifests")
+    for fn in os.listdir(mandir):
+        os.utime(os.path.join(mandir, fn), (old, old))
     t.vacuum()
     t.refresh()
     live = {
@@ -202,6 +219,17 @@ def test_crash_between_shard_write_and_root_cas_is_safe(spark, tmp_path):
         job_id="sh", epoch_id=1,
     )
     t2.expire_snapshots(keep_last=10)
+    # age the shards past the round-7 grace window (a crashed commit's
+    # orphan is still a "young unreferenced shard" right after the crash
+    # — vacuum deliberately spares it until the window passes)
+    import time as _time
+
+    from etlframwork_spark.table import VACUUM_SHARD_GRACE_SECS
+
+    _old = _time.time() - VACUUM_SHARD_GRACE_SECS - 1
+    _mandir = os.path.join(t2.root, "metadata", "manifests")
+    for _fn in os.listdir(_mandir):
+        os.utime(os.path.join(_mandir, _fn), (_old, _old))
     t2.vacuum()
     t2.refresh()
     live = {

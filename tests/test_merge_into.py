@@ -116,3 +116,35 @@ def test_merge_into_rewrites_only_source_buckets(spark, tmp_path):
     t.refresh()
     after = t.snapshot()["files"]
     assert sum(1 for b in after if after[b] != before.get(b)) == 1
+
+
+def test_merge_into_partial_source_keeps_unassigned_target_columns(spark, tmp_path):
+    """ANSI/Delta MERGE UPDATE-SET semantics (round-6 advice #1): payload
+    columns the source does NOT carry keep the matched target row's
+    values — they must not be null back-filled by merge_batch's _align.
+    Not-matched inserts back-fill the same columns with null, the
+    standard INSERT behavior."""
+    schema2 = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("note", StringType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    ev2 = StructType(schema2.fields + [StructField("op", StringType())])
+    t = SnapshotTable.create(
+        str(tmp_path / "t_partial"), schema2, key_cols=["k"], order_col="lsn", num_buckets=4
+    )
+    merge_batch(
+        spark, t,
+        spark.createDataFrame([(f"k{i}", i, f"n{i}", i, "insert") for i in range(5)], ev2),
+        job_id="seed", epoch_id=0,
+    )
+    src = spark.createDataFrame([("k1", 100), ("k9", 900)], SRC)  # no 'note' column
+    merge_into(spark, t, src, new_order=1000, epoch_id=1)
+    t.refresh()
+    got = {r["k"]: (r["v"], r["note"]) for r in t.read(spark).collect()}
+    assert got["k1"] == (100, "n1")  # unassigned column retained from target
+    assert got["k9"] == (900, None)  # fresh insert: standard null back-fill
+    assert got["k2"] == (2, "n2")    # unmatched target rows untouched
