@@ -346,7 +346,10 @@ def ann_candidate_pairs(
     if min_cosine is None:
         mask = lambda d, na, nb, cos: np.ones(len(d), dtype=bool)  # noqa: E731
     else:
-        mask = lambda d, na, nb, cos: cos >= min_cosine  # noqa: E731
+        # NaN parity with the former JVM filter: Spark orders NaN above
+        # every double, so `cosine >= t` KEEPS a NaN cosine (zero-norm
+        # vector); numpy comparisons drop NaN — keep them explicitly
+        mask = lambda d, na, nb, cos: (cos >= min_cosine) | np.isnan(cos)  # noqa: E731
     return _grouped_bucket_pairs(e, max_bucket, mask).dropDuplicates(["id_a", "id_b"])
 
 
@@ -621,8 +624,18 @@ def neardup_lsh_pairs(
 
     def mask(d, na, nb, cos):
         # exact int64 arithmetic — same domain bound as _neardup_cond
-        # (|component| <= ~2.1 at dim 64 with the 1e3 quantizer)
+        # (|component| <= ~2.1 at dim 64 with the 1e3 quantizer). The
+        # former JVM expression ran under ANSI mode and THREW on int64
+        # overflow; numpy wraps silently, so guard the bound loudly
+        # (Python ints are arbitrary-precision, so the check is exact)
         di = d.astype(np.int64)
+        if len(di):
+            hi = max(den2 * int(abs(di).max()) ** 2, num2 * int(na.max()) * int(nb.max()))
+            if hi > (1 << 63) - 1:
+                raise ArithmeticError(
+                    "neardup threshold arithmetic would overflow int64 — "
+                    "embedding components exceed the documented quantizer domain"
+                )
         return (di > 0) & (den2 * di * di >= num2 * na.astype(np.int64) * nb.astype(np.int64))
 
     return _grouped_bucket_pairs(e, max_bucket, mask).dropDuplicates(["id_a", "id_b"])

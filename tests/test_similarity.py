@@ -334,3 +334,24 @@ def test_numpy_codes_match_reference(spark, sf_dir):
     df = spark.createDataFrame(rows, SCHEMA)
     ref, got = codes_of(df, 32)
     assert {k: tuple(sorted(v)) for k, v in ref.items()} == got
+
+
+def test_bucket_kernel_keeps_nan_cosine_like_spark(spark):
+    """Spark orders NaN above every double, so the former JVM filter
+    `cosine >= t` KEPT a zero-norm (NaN-cosine) pair; the round-7 numpy
+    bucket kernel must agree (ann_candidate_pairs passes the
+    NaN-keeping mask when min_cosine is set)."""
+    import math
+
+    from etlframwork_spark.functions.similarity import _grouped_bucket_pairs
+
+    rows = [(1, [1, 1, 1, 1], 4, 7), (2, [1, 1, 1, 1], 4, 7), (3, [0, 0, 0, 0], 0, 7)]
+    e = spark.createDataFrame(rows, "vec_id long, q array<long>, norm2 long, code long")
+    mask = lambda d, na, nb, cos: (cos >= 0.4) | np.isnan(cos)  # noqa: E731
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in _grouped_bucket_pairs(e, 1000, mask).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == 1.0
+    assert math.isnan(got[(1, 3)]) and math.isnan(got[(2, 3)])
