@@ -278,3 +278,47 @@ def test_derived_cap_still_bounds_stopword_corpus(spark):
     e = d.select("doc_id", "source", F.explode("words").alias("word"))
     e2 = drop_hot_buckets(e.join(F.broadcast(caps), "source"), ["source", "word"], F.col("df_cap"))
     assert e2.count() == 0
+
+
+def test_numpy_minhash_matches_reference(spark, sf_dir):
+    """Round 7: minhash_signature computes shingle hashes + permutation
+    minima in a vectorized numpy mapInArrow kernel; the interpreted HOF
+    plan stays as the reference (_minhash_signature_hof). The kernel
+    hashes exactly the UTF-8 bytes the JVM concat_ws would produce with
+    the S20-pinned XXH64, so every signature must match bit-for-bit —
+    on the real fixture corpus AND on whitespace/unicode/null/long-word
+    edge cases (including shingles past the 32-byte XXH64 stripe)."""
+    from etlframwork_spark.functions.dedup import _minhash_signature_hof
+    from etlframwork_spark.sources.io import load_table
+
+    def sigs_of(df):
+        ref = {
+            r["doc_id"]: r["sig"]
+            for r in _minhash_signature_hof(df).select("doc_id", "sig").collect()
+        }
+        got = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signature(df).select("doc_id", "sig").collect()
+        }
+        return ref, got
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref, got = sigs_of(d)
+    assert ref == got
+
+    rows = [
+        (0, "batch part spark line column order small sort"),
+        (1, "one two"),
+        (2, "single"),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+        (6, "a  b   c d e"),
+        (7, "Tab\tseparated words here"),
+        (8, "Ünïcödé wörds ünïcödé wörds mixed ascii"),
+        (9, "x" * 40 + " " + "y" * 40 + " " + "z" * 40 + " tail words here"),
+        (10, "MiXeD CaSe WoRdS lower test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref, got = sigs_of(df)
+    assert ref == got
