@@ -406,9 +406,10 @@ def lsh_candidate_pairs(
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
-    """Append ``shingles: array<string>`` — DISTINCT word n-grams (the raw
-    strings, not hashes, so the exact-verify stage is engine-portable)."""
+def _shingle_sets_hof(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """Reference JVM implementation of :func:`shingle_sets` (interpreted
+    higher-order functions). Kept as the byte-equality oracle for the
+    vectorized kernel (``test_numpy_shingles_match_reference``)."""
     tokens = F.expr(rf"split(trim(lower({text_col})), '\\s+')")
     df = df.withColumn("_tokens", tokens)
     n = F.size("_tokens")
@@ -420,6 +421,83 @@ def shingle_sets(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataF
         ),
     ).otherwise(F.expr("array(concat_ws(' ', _tokens))"))
     return df.withColumn("shingles", F.array_distinct(sh)).drop("_tokens")
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """Append ``shingles: array<string>`` — DISTINCT word n-grams (the raw
+    strings, not hashes, so the exact-verify stage is engine-portable).
+
+    Round-7 shape (same argument as :func:`minhash_signature`): JVM
+    tokenization, then one ``mapInArrow`` stage assembles the distinct
+    shingle byte strings from the Arrow token buffers — byte-identical to
+    the interpreted ``transform``/``concat_ws``/``array_distinct`` plan
+    (including array_distinct's first-occurrence order; pinned by
+    ``test_numpy_shingles_match_reference``), at a fraction of the
+    per-element expression-tree cost. Pure map stage, no shuffle."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import StringType
+
+    tokens_expr = F.expr(rf"split(trim(lower({text_col})), '\\s+')")
+    base = df.withColumn("_tokens", tokens_expr)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("shingles", ArrayType(StringType(), True), True)]
+    )
+    n_cols = len(df.schema.fields)
+    ng = int(ngram)
+
+    def kernel(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            toks = batch.column(n_cols)
+            row_valid = np.ones(n_rows, dtype=bool)
+            if toks.null_count:
+                row_valid = np.array(toks.is_valid())
+            tlens = toks.value_lengths().to_numpy(zero_copy_only=False)
+            tlens = np.where(row_valid, tlens, 0).astype(np.int64)
+            tstarts = np.concatenate([[0], np.cumsum(tlens)])
+            vals = toks.flatten().cast(pa.large_binary())
+            _, ob, db = vals.buffers()
+            off = np.frombuffer(ob, np.int64, len(vals) + 1, vals.offset * 8)
+            mv = memoryview(db) if db is not None else memoryview(b"")
+            tok_views = [mv[off[j] : off[j + 1]] for j in range(len(vals))]
+            space = b" "
+            flat: list[bytes] = []
+            offs = np.empty(n_rows + 1, dtype=np.int32)
+            offs[0] = 0
+            for i in range(n_rows):
+                if not row_valid[i]:
+                    # NULL text: concat_ws(' ', NULL) yields "" (skips nulls)
+                    flat.append(b"")
+                    offs[i + 1] = offs[i] + 1
+                    continue
+                ts, nt = tstarts[i], tlens[i]
+                if nt >= ng:
+                    row = tok_views[ts : ts + nt]
+                    # dict.fromkeys preserves first-occurrence order, exactly
+                    # like array_distinct
+                    uniq = dict.fromkeys(
+                        space.join(row[k : k + ng]) for k in range(nt - ng + 1)
+                    )
+                else:
+                    uniq = {space.join(tok_views[ts : ts + nt]): None}
+                flat.extend(uniq)
+                offs[i + 1] = offs[i] + len(uniq)
+            sh_col = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(flat, type=pa.string())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in range(n_cols)] + [sh_col],
+                schema=pa.schema(
+                    [batch.schema.field(c) for c in range(n_cols)]
+                    + [pa.field("shingles", pa.list_(pa.string()))]
+                ),
+            )
+
+    return base.mapInArrow(kernel, schema=out_schema)
 
 
 def verify_pairs_exact(candidates: DataFrame, shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -322,3 +322,44 @@ def test_numpy_minhash_matches_reference(spark, sf_dir):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     ref, got = sigs_of(df)
     assert ref == got
+
+
+def test_numpy_shingles_match_reference(spark, sf_dir):
+    """Round 7: shingle_sets assembles distinct shingle strings in the
+    vectorized mapInArrow kernel; the interpreted HOF plan stays as the
+    reference (_shingle_sets_hof). Byte-for-byte equality including
+    array_distinct's first-occurrence ORDER — on the fixture corpus and
+    whitespace/unicode/null/repeat edge cases."""
+    from etlframwork_spark.functions.dedup import _shingle_sets_hof, shingle_sets
+    from etlframwork_spark.sources.io import load_table
+
+    def sets_of(df):
+        ref = {
+            r["doc_id"]: r["shingles"]
+            for r in _shingle_sets_hof(df).select("doc_id", "shingles").collect()
+        }
+        got = {
+            r["doc_id"]: r["shingles"]
+            for r in shingle_sets(df).select("doc_id", "shingles").collect()
+        }
+        return ref, got
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref, got = sets_of(d)
+    assert ref == got
+
+    rows = [
+        (0, "batch part spark line column order small sort batch part spark"),
+        (1, "one two"),
+        (2, "single"),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+        (6, "a  b   c d e a b c"),
+        (7, "Tab\tseparated words here"),
+        (8, "Ünïcödé wörds ünïcödé wörds mixed ascii"),
+        (9, "MiXeD CaSe WoRdS lower test repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref, got = sets_of(df)
+    assert ref == got
