@@ -22,7 +22,7 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from ..operators.registry import query
-from ..sources.io import load_table
+from ..sources.io import _input_bytes, load_table
 
 # deterministic (a, b) constants for the MinHash permutation family.
 # 31-bit arithmetic: a*h31 + b stays < 2^62, so Spark's ANSI-mode long
@@ -192,7 +192,30 @@ def _minhash_signature_hof(df: DataFrame, text_col: str = "text", ngram: int = 3
     return df.withColumn("sig", sig).drop("_tokens", "_shingles")
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
+# Engage floor for the vectorized minhash/shingle kernels (same pattern
+# as load_table's spread floor): below ~2 MB of corpus the Python-worker
+# round-trip costs more than the interpreted HOF plan saves (sf0.1 A/B:
+# kernel 2.3s vs HOF 1.9s on a 0.6 MB corpus; kernel wins 1.3-2x from
+# ~6 MB up). Both paths are bit-identical (pinned), so the switch is
+# purely a cost decision.
+_VECTORIZE_MIN_BYTES = 2 << 20
+
+
+def _use_vectorized(sf_dir: str) -> bool:
+    import os
+
+    try:
+        return (
+            _input_bytes(os.path.join(sf_dir, "documents.parquet"))
+            >= _VECTORIZE_MIN_BYTES
+        )
+    except OSError:
+        return True
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", ngram: int = 3, vectorized: bool = True
+) -> DataFrame:
     """Append a MinHash signature column ``sig: array<long>``.
 
     Shingles are word ``ngram``-grams; each shingle is hashed with
@@ -217,7 +240,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", ngram: int = 3) -> 
     single largest CPU block in the dedup pipeline.
 
     Scale shape unchanged: a pure map stage, no shuffle, no driver state;
-    the Python boundary carries only (passthrough columns, tokens)."""
+    the Python boundary carries only (passthrough columns, tokens).
+
+    ``vectorized=False`` keeps the HOF plan — callers with tiny inputs
+    (below ``_VECTORIZE_MIN_BYTES``) avoid the Python-worker round-trip."""
+    if not vectorized:
+        return _minhash_signature_hof(df, text_col, ngram)
     import pyarrow as pa
 
     from ..sources.snapshot_datasource import _xxh64_fixed_np
@@ -423,7 +451,9 @@ def _shingle_sets_hof(df: DataFrame, text_col: str = "text", ngram: int = 3) -> 
     return df.withColumn("shingles", F.array_distinct(sh)).drop("_tokens")
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", ngram: int = 3, vectorized: bool = True
+) -> DataFrame:
     """Append ``shingles: array<string>`` — DISTINCT word n-grams (the raw
     strings, not hashes, so the exact-verify stage is engine-portable).
 
@@ -433,7 +463,10 @@ def shingle_sets(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataF
     the interpreted ``transform``/``concat_ws``/``array_distinct`` plan
     (including array_distinct's first-occurrence order; pinned by
     ``test_numpy_shingles_match_reference``), at a fraction of the
-    per-element expression-tree cost. Pure map stage, no shuffle."""
+    per-element expression-tree cost. Pure map stage, no shuffle.
+    ``vectorized=False`` keeps the HOF plan for tiny inputs."""
+    if not vectorized:
+        return _shingle_sets_hof(df, text_col, ngram)
     import pyarrow as pa
 
     from pyspark.sql.types import StringType
@@ -535,10 +568,11 @@ def _verified_dup_pairs(spark, sf_dir):
     of the verify join; identical output, ~10x less shingle work on a
     typical (mostly-unique) corpus."""
     d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    sigs = minhash_signature(d)
+    vec = _use_vectorized(sf_dir)
+    sigs = minhash_signature(d, vectorized=vec)
     cands = lsh_candidate_pairs(sigs, with_est=False).localCheckpoint(eager=True)
     involved = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-    shingled = shingle_sets(d.join(F.broadcast(involved), "doc_id"))
+    shingled = shingle_sets(d.join(F.broadcast(involved), "doc_id"), vectorized=vec)
     return verify_pairs_exact(cands, shingled).filter(F.col("jaccard") >= 0.7)
 
 
@@ -594,7 +628,7 @@ def docs_minhash_lsh(spark, sf_dir):
     generation plus the exact-verify leg and a brute-force DuckDB twin) —
     the registry is capped at 50 so every entry gets a CORRECTNESS row."""
     d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    sigs = minhash_signature(d)
+    sigs = minhash_signature(d, vectorized=_use_vectorized(sf_dir))
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
