@@ -81,11 +81,25 @@ def extract_features(blobs: DataFrame, batch_hint: int = 1024) -> DataFrame:
     decode is the pluggable stub above."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dim_bytes = FEATURE_DIM * 4
         for pdf in batches:
-            feats = [
-                decode_payload(p, k).tolist()
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            # batch-assembled stub features (round 7, guide §4.2): one
+            # sha256 per payload stays (that IS the stub's decode), but the
+            # per-row numpy frombuffer/astype/divide calls collapse into a
+            # single vectorized pass over the concatenated digests —
+            # bit-identical values (same bytes, same single IEEE ops)
+            if len(pdf):
+                digests = b"".join(
+                    hashlib.sha256(p).digest()[:dim_bytes] for p in pdf["payload"]
+                )
+                feats = (
+                    np.frombuffer(digests, dtype="<u4")
+                    .reshape(-1, FEATURE_DIM)
+                    .astype(np.float64)
+                    / np.float64(2**32)
+                ).tolist()
+            else:
+                feats = []
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
